@@ -1,0 +1,27 @@
+"""Test environment: force an 8-device virtual CPU mesh.
+
+This is the TPU-world analogue of testing multi-node code without a cluster
+(SURVEY.md §4): all sharding/collective paths run on
+xla_force_host_platform_device_count virtual devices.
+
+NOTE: the environment's sitecustomize imports jax and registers the real
+TPU-tunnel PJRT plugin before pytest starts, so setting JAX_PLATFORMS in
+os.environ here is too late — ``jax.config.update`` is the reliable switch
+(it takes effect any time before backend initialization).
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
