@@ -67,9 +67,12 @@ class Config:
     l_pose_consist: bool = True
     l_pose_consist_weight: float = 5.0
     l_inverse: bool = True
-    l_depth_consist: bool = True
-    l_depth_consist_weight: float = 0.15
-    with_depth_mask: bool = True
+    # Paper KITTI training runs with depth-consistency terms OFF
+    # (run_mono_exps_kitti.sh passes neither flag; argparse defaults are
+    # False at run_mono_training.py:59,61).
+    l_depth_consist: bool = False
+    l_depth_consist_weight: float = 0.14
+    with_depth_mask: bool = False
     l_smooth: bool = True
     l_smooth_weight: float = 0.05
 

@@ -1,0 +1,131 @@
+"""Shared conv building blocks (NHWC, flax.linen).
+
+TPU-native equivalents of the reference layer helpers:
+  * ``ReflConv``      — reflection-pad + conv (models/depth_models.py:19-35)
+  * ``WSConv``        — weight-standardized conv (models/pose_models.py:10-25)
+  * ``conv_gn`` block — WSConv + GroupNorm(16) + ReLU (pose_models.py:62-84)
+
+Normalization statistics are computed in float32 even under bfloat16
+compute, matching standard mixed-precision practice on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+class ReflConv(nn.Module):
+    """Reflection-pad + VALID conv, the monodepth2 Conv3x3 (depth_models.py:19-35)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = kaiming_out
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.kernel - 1) // 2
+        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        return nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding="VALID",
+            dtype=self.dtype, kernel_init=self.kernel_init,
+        )(x)
+
+
+class WSConv(nn.Module):
+    """Weight-standardized conv (pose_models.py:10-25).
+
+    Per-output-channel: subtract the kernel mean and divide by the *sample*
+    standard deviation (Bessel-corrected, +1e-5), exactly like the torch
+    ``weight.view(O,-1).std(dim=1)`` in the reference. Zero padding.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = xavier_uniform
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kshape = (self.kernel, self.kernel, in_ch, self.features)  # HWIO
+        w = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        # standardize over (H, W, I) per output channel, in f32
+        mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
+        wc = w - mean
+        n = self.kernel * self.kernel * in_ch
+        var = jnp.sum(wc * wc, axis=(0, 1, 2), keepdims=True) / (n - 1)
+        w = wc / (jnp.sqrt(var) + 1e-5)
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class GroupNorm16(nn.Module):
+    """GroupNorm with 16 groups, f32 statistics (pose_models.py:49,82)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
+
+
+class ConvGN(nn.Module):
+    """WSConv(stride 2, same-ish pad) + GroupNorm(16) + ReLU (pose_models.py:62-84)."""
+
+    features: int
+    kernel: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = WSConv(
+            self.features, kernel=self.kernel, stride=2,
+            padding=(self.kernel - 1) // 2, dtype=self.dtype,
+        )(x)
+        x = GroupNorm16(dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+def upsample2x_nearest(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x upsample, NHWC (depth_models.py:37-47).
+
+    Implemented as reshape-broadcast (cheaper for XLA than gather-based
+    ``jax.image.resize``).
+    """
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def resize_nearest(x: jax.Array, h: int, w: int) -> jax.Array:
+    """Nearest resize to (h, w) for NHWC, matching F.interpolate('nearest')."""
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, h, w, c), method="nearest")

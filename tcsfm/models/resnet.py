@@ -1,0 +1,95 @@
+"""ResNet-18 encoder for the depth network (NHWC, flax.linen).
+
+TPU-native implementation of the torchvision-based encoder used by the
+reference (models/depth_models.py:50-131): conv1(7x7, s2) → BN → ReLU →
+maxpool(3x3, s2) → 4 stages of BasicBlocks [64, 128, 256, 512], emitting
+the 5 skip feature maps consumed by the decoder.
+
+BatchNorm uses a mutable ``batch_stats`` collection; pass ``train=True``
+to update running statistics. Under data parallelism the per-device batch
+statistics are used as-is (the reference trains on a single device; for
+exact cross-replica parity use ``axis_name='data'`` via ``bn_axis_name``
+to psum the statistics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tcsfm.models.layers import kaiming_out
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, axis_name=self.bn_axis_name,
+        )
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    kernel_init=kaiming_out)(x)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, kernel_init=kaiming_out)(y)
+        y = norm()(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            residual = nn.Conv(self.features, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=kaiming_out)(x)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet18Encoder(nn.Module):
+    """5-skip ResNet-18 feature extractor (depth_models.py:95-131)."""
+
+    in_images: int = 1          # stacked input images (ResNetMultiImageInput)
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    # torchvision resnet18: [2, 2, 2, 2] blocks at [64, 128, 256, 512]
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    stage_features: Sequence[int] = (64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = []
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, kernel_init=kaiming_out, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         axis_name=self.bn_axis_name, name="bn1")(x)
+        x = nn.relu(x)
+        feats.append(x)                                       # H/2, 64
+
+        # torch MaxPool2d(3, 2, padding=1) pads with -inf-equivalent zeros;
+        # inputs are post-ReLU (>= 0) so a -inf pad and 0 pad agree.
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        for si, (n_blocks, f) in enumerate(
+            zip(self.stage_sizes, self.stage_features)
+        ):
+            for bi in range(n_blocks):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                x = BasicBlock(f, stride=stride, dtype=self.dtype,
+                               bn_axis_name=self.bn_axis_name,
+                               name=f"layer{si + 1}_{bi}")(x, train=train)
+            feats.append(x)                                   # H/4..H/32
+
+        return feats
