@@ -116,10 +116,14 @@ class TestEigenProtocol:
         assert not mask[10, 50]  # above the crop
         assert not mask[50, 1]   # left of the crop
 
-    def test_scale_invariant_zero(self):
-        gt = np.random.RandomState(0).rand(50, 50).astype(np.float64) + 0.5
-        # catastrophic cancellation in the variance formula leaves ~1e-7
-        assert D.scale_invariant(gt, gt * 7.0) < 1e-5
+    def test_scale_invariant_property(self):
+        rng = np.random.RandomState(0)
+        gt = rng.rand(50, 50).astype(np.float64) + 0.5
+        pr = rng.rand(50, 50).astype(np.float64) + 0.5
+        a = D.scale_invariant(gt, pr)
+        b = D.scale_invariant(gt, pr * 7.0)  # global scale must not matter
+        np.testing.assert_allclose(a, b, rtol=1e-9)
+        assert a > 0
 
     def test_deepv2d_pose_errors(self):
         M = np.eye(4)
