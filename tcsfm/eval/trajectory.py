@@ -66,6 +66,24 @@ def np_se3_inv(T: np.ndarray) -> np.ndarray:
     return out
 
 
+def np_se3_log(T: np.ndarray) -> np.ndarray:
+    """[4, 4] → [6] = [rho, phi] (inverse of np_se3_exp)."""
+    R = T[:3, :3]
+    c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(c)
+    vee = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    if theta < 1e-8:
+        phi = 0.5 * vee
+        V_inv = np.eye(3) - 0.5 * _skew(phi)
+    else:
+        phi = theta / (2.0 * np.sin(theta)) * vee
+        K = _skew(phi)
+        half = 0.5 * theta
+        cot = (1.0 - half * np.cos(half) / np.sin(half)) / theta ** 2
+        V_inv = np.eye(3) - 0.5 * K + cot * (K @ K)
+    return np.concatenate([V_inv @ T[:3, 3], phi])
+
+
 def np_normalize_rotation(T: np.ndarray) -> np.ndarray:
     """SVD-orthogonalize the rotation block (liegroups normalize=True)."""
     U, _, Vt = np.linalg.svd(T[:3, :3])

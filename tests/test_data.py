@@ -1,0 +1,180 @@
+"""Data pipeline tests: windows, transforms, dataset, loader, synthetic."""
+
+import numpy as np
+import pytest
+
+from tcsfm.data.windows import build_windows, sliding_windows, target_source_split
+from tcsfm.data import transforms as TR
+from tcsfm.data.dataset import SequenceData, SfMWindowDataset, relative_lie_alg
+from tcsfm.data.loader import BatchLoader, collate_windows
+from tcsfm.data.synthetic import make_synthetic_sequence
+from tcsfm.eval.trajectory import np_se3_exp
+
+
+class TestWindows:
+    def test_sliding(self):
+        w = sliding_windows(5, 3)
+        np.testing.assert_array_equal(w, [[0, 1, 2], [1, 2, 3], [2, 3, 4]])
+
+    def test_correction_rate(self):
+        # frames {0,2,4,6}: windows {0,2,4},{2,4,6} (kitti_loader_stereo.py:239-245)
+        w = build_windows(8, 3, correction_rate=2)
+        np.testing.assert_array_equal(w, [[0, 2, 4], [2, 4, 6]])
+
+    def test_skip(self):
+        w = build_windows(6, 2, skip=2)
+        np.testing.assert_array_equal(w, [[0, 1], [2, 3], [4, 5]])
+
+    def test_augment_motion(self):
+        w = build_windows(6, 3, augment_motion=True)
+        # normal windows (4) + skip-2 windows over frames {0,2,4}
+        assert len(w) == 4 + 1
+        np.testing.assert_array_equal(w[-1], [0, 2, 4])
+
+    def test_target_middle(self):
+        t, s = target_source_split(3)
+        assert t == 1 and s == [0, 2]
+        t2, s2 = target_source_split(2)
+        assert t2 == 1 and s2 == [0]
+
+
+class TestTransforms:
+    def test_flip_fixup(self):
+        img = np.random.RandomState(0).rand(8, 10, 3).astype(np.float32)
+        K = np.array([[5.0, 0, 3.0], [0, 5.0, 4.0], [0, 0, 1]], np.float32)
+        lie = np.zeros((2, 2, 6), np.float32)
+        lie[..., 4] = 0.3
+        lie[..., 5] = -0.2
+        lie[..., 1] = 0.7  # ty untouched
+        out, K2, la = TR.apply_flip([img], K, lie)
+        np.testing.assert_allclose(out[0], img[:, ::-1])
+        assert K2[0, 2] == 10 - 3.0
+        np.testing.assert_allclose(la[..., 4], -0.3)
+        np.testing.assert_allclose(la[..., 5], 0.2)
+        np.testing.assert_allclose(la[..., 1], 0.7)
+
+    def test_jitter_only_on_aug_stream(self):
+        rng = np.random.RandomState(3)
+        tf = TR.WindowTransform(jitter=True, flip_prob=None)
+        img = np.random.RandomState(1).rand(8, 10, 3).astype(np.float32)
+        (o, _, _), (a, _, _) = tf([img, img], np.eye(3, dtype=np.float32),
+                                  np.zeros((1, 2, 6)), rng)
+        np.testing.assert_allclose(o[0], img)  # clean stream untouched
+
+    def test_jitter_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        try:
+            import torchvision.transforms.functional as F  # noqa
+            have_tv = True
+        except ImportError:
+            have_tv = False
+        if not have_tv:
+            pytest.skip("torchvision unavailable")
+
+    def test_hue_roundtrip(self):
+        img = np.random.RandomState(2).rand(6, 6, 3).astype(np.float32)
+        out = TR.adjust_hue(TR.adjust_hue(img, 0.25), -0.25)
+        np.testing.assert_allclose(out, img, atol=1e-4)
+
+
+class TestDataset:
+    def _seq(self, n=8):
+        return make_synthetic_sequence(n_frames=n, image_size=(32, 48), seed=1)
+
+    def test_relative_lie_alg_roundtrip(self):
+        xi = np.array([0.1, -0.05, 0.3, 0.01, 0.02, -0.01])
+        T_t = np.eye(4)
+        T_s = T_t @ np_se3_exp(xi)
+        # log(T_t^-1 T_s) = xi
+        np.testing.assert_allclose(relative_lie_alg(T_t, T_s), xi, atol=1e-5)
+
+    def test_window_dataset_shapes(self):
+        ds = SfMWindowDataset([self._seq()], seq_len=3)
+        assert len(ds) == 6
+        s = ds[0]
+        assert s["target_img"].shape == (32, 48, 3)
+        assert s["source_imgs"].shape == (2, 32, 48, 3)
+        assert s["gt_lie_alg"].shape == (2, 6)
+        assert s["intrinsics"].shape == (3, 3)
+
+    def test_gt_lie_alg_consistency(self):
+        """Window GT must match the generating motion: the synthetic camera
+        moves with constant xi per frame."""
+        seq = self._seq()
+        ds = SfMWindowDataset([seq], seq_len=3)
+        s = ds[0]
+        # source 0 is the frame BEFORE the target: pose change source→target
+        xi_fwd = s["gt_lie_alg"][1]  # frame after
+        xi_back = s["gt_lie_alg"][0]
+        # symmetric motion: xi_fwd ≈ -xi_back for constant velocity
+        np.testing.assert_allclose(xi_fwd[:3], -xi_back[:3], atol=1e-3)
+
+    def test_npz_roundtrip(self, tmp_path):
+        seq = self._seq(4)
+        p = str(tmp_path / "seq.npz")
+        seq.save_npz(p)
+        seq2 = SequenceData.from_npz(p)
+        np.testing.assert_allclose(seq2.gt_poses, seq.gt_poses)
+        np.testing.assert_allclose(seq2.images, seq.images)
+        assert len(seq2) == 4
+
+
+class TestLoader:
+    def test_collate_layout(self):
+        ds = SfMWindowDataset([make_synthetic_sequence(8, (32, 48))], seq_len=3)
+        batch = collate_windows([ds[0], ds[1]])
+        assert batch["target_img"].shape == (2, 32, 48, 3)
+        assert batch["source_imgs"].shape == (2, 2, 32, 48, 3)  # [S, B, ...]
+        assert batch["gt_lie_alg"].shape == (2, 2, 6)
+
+    def test_loader_drop_last(self):
+        ds = SfMWindowDataset([make_synthetic_sequence(9, (32, 48))], seq_len=3)
+        dl = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=True)
+        batches = list(dl)
+        assert len(batches) == len(ds) // 4
+        for b in batches:
+            assert b["target_img"].shape[0] == 4
+
+    def test_loader_pad_tail(self):
+        ds = SfMWindowDataset([make_synthetic_sequence(9, (32, 48))], seq_len=3)
+        dl = BatchLoader(ds, batch_size=4, shuffle=False, pad_tail=True)
+        batches = list(dl)
+        total_valid = sum(b["_valid"].sum() for b in batches)
+        assert total_valid == len(ds)
+        for b in batches:
+            assert b["target_img"].shape[0] == 4
+
+    def test_prefetch_equivalence(self):
+        ds = SfMWindowDataset([make_synthetic_sequence(9, (32, 48))], seq_len=3)
+        a = list(BatchLoader(ds, 2, shuffle=False, prefetch=0))
+        b = list(BatchLoader(ds, 2, shuffle=False, prefetch=2))
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a[0]["target_img"], b[0]["target_img"])
+
+
+class TestSynthetic:
+    def test_photometric_consistency(self):
+        """Warping a source frame with GT depth+pose must reconstruct the
+        target — the property the whole framework optimizes."""
+        import jax.numpy as jnp
+
+        from tcsfm.geom.warp import inverse_warp2
+        from tcsfm.data.dataset import relative_lie_alg
+
+        seq = make_synthetic_sequence(4, (64, 96), seed=3)
+        t, s = 1, 2
+        xi = relative_lie_alg(seq.gt_poses[t], seq.gt_poses[s])
+
+        img_src = jnp.asarray(seq.images[s][None])
+        depth_t = jnp.asarray(seq.depths[t][None, ..., None])
+        depth_s = jnp.asarray(seq.depths[s][None, ..., None])
+        K = jnp.asarray(seq.intrinsics[t][None])
+        # solver convention: warp with -pose where pose ≈ xi
+        warped, valid, _, _ = inverse_warp2(
+            img_src, depth_t, depth_s, jnp.asarray(-xi[None]), K
+        )
+        w = np.asarray(warped[0])
+        v = np.asarray(valid[0, ..., 0]) > 0
+        tgt = seq.images[t]
+        err = np.abs(w - tgt)[v].mean()
+        assert err < 0.03, f"photometric error {err}"
