@@ -1,0 +1,101 @@
+"""PFT tests: the optimization loop reduces the photometric loss on
+synthetic windows, across optimization modes; averaging semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcsfm.config import Config, PFTOptions
+from tcsfm.data.dataset import SfMWindowDataset
+from tcsfm.data.loader import BatchLoader
+from tcsfm.data.synthetic import make_synthetic_sequence
+from tcsfm.data.transforms import WindowTransform
+from tcsfm.models.depth import DepthNet
+from tcsfm.models.pose import PoseNet
+from tcsfm.solver.pft import PFTOptimizer, partition_params
+
+H, W = 32, 64
+B = 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(minibatch=B, iterations=2, num_scales=1,
+                 compute_dtype="float32")
+    depth_model = DepthNet(num_scales=1)
+    pose_model = PoseNet()
+    dvars = depth_model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    pvars = pose_model.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 6)))
+
+    seq = make_synthetic_sequence(8, (H, W), seed=2)
+    ds = SfMWindowDataset([seq], seq_len=3,
+                          transform=WindowTransform(jitter=False, flip_prob=None))
+    batch = next(iter(BatchLoader(ds, B, shuffle=False)))
+    batch.pop("_valid")
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    return cfg, depth_model, pose_model, dvars, pvars, jbatch
+
+
+class TestPartition:
+    def test_encoder_partition(self, setup):
+        cfg, dm, pm, dvars, pvars, batch = setup
+        trainable, rebuild = partition_params(
+            "encoder", dvars["params"], pvars["params"])
+        dp, pp, _, _ = rebuild(trainable)
+        assert set(dp.keys()) == set(dvars["params"].keys())
+        # frozen decoder leaves must be identical objects
+        assert dp["upconv0"] is dvars["params"]["upconv0"]
+
+    def test_all_modes_rebuild(self, setup):
+        cfg, dm, pm, dvars, pvars, batch = setup
+        skips = [jnp.zeros((1, 4, 4, 8))] * 5
+        disp = jnp.zeros((1, 8, 16, 1))
+        for mode in ("encoder", "all_depth", "decoder", "depth_pred",
+                     "bottleneck", "pose"):
+            trainable, rebuild = partition_params(
+                mode, dvars["params"], pvars["params"], skips=skips,
+                disparities=disp)
+            dp, pp, sk, di = rebuild(trainable)
+            assert set(dp.keys()) == set(dvars["params"].keys())
+
+
+class TestPFTLoop:
+    @pytest.mark.parametrize("mode", ["encoder", "depth_pred", "pose"])
+    def test_loss_decreases(self, setup, mode):
+        cfg, dm, pm, dvars, pvars, batch = setup
+        # pose-weight optimization needs a gentler lr (weight-standardized
+        # convs amplify weight perturbations)
+        lr = 1e-4 if mode == "pose" else 1e-3
+        opts = PFTOptions(epochs=6, lr=lr, avg_final_epochs=2,
+                          num_source_imgs=2, l_depth_init=False)
+        opt = PFTOptimizer(cfg, opts, dm, pm, mode=mode)
+        res = opt.optimize_window(batch, dvars["params"], pvars["params"],
+                                  dvars["batch_stats"])
+        losses = np.asarray(res.losses)
+        assert np.all(np.isfinite(losses))
+        if mode == "pose":
+            # random-init pose weights have no descent guarantee in a few
+            # steps; require the optimization to actually move the loss
+            assert np.abs(np.diff(losses)).max() > 1e-5
+        else:
+            assert losses[-1] < losses[0], f"{mode}: {losses}"
+
+    def test_result_shapes(self, setup):
+        cfg, dm, pm, dvars, pvars, batch = setup
+        opts = PFTOptions(epochs=4, avg_final_epochs=2, num_source_imgs=2)
+        opt = PFTOptimizer(cfg, opts, dm, pm, mode="encoder")
+        res = opt.optimize_window(batch, dvars["params"], pvars["params"],
+                                  dvars["batch_stats"])
+        assert res.poses_opt.shape == (2, B, 6)
+        assert res.poses_init.shape == (2, B, 6)
+        assert res.disp_opt.shape == (B, H, W)
+        assert res.losses.shape == (4,)
+
+    def test_jit_compiles(self, setup):
+        cfg, dm, pm, dvars, pvars, batch = setup
+        opts = PFTOptions(epochs=3, avg_final_epochs=2, num_source_imgs=2)
+        opt = PFTOptimizer(cfg, opts, dm, pm, mode="encoder")
+        res = opt.optimize_window_jit(batch, dvars["params"], pvars["params"],
+                                      dvars["batch_stats"])
+        assert np.all(np.isfinite(np.asarray(res.losses)))
