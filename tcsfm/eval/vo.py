@@ -1,0 +1,145 @@
+"""VO evaluation over full sequences (evaluate_vo_model.py equivalent).
+
+Runs pair-wise (target, source) coupled inference along a sequence, fuses
+forward/inverse predictions, applies metric scaling (GT mean-norm and/or
+DNet ground-plane), and computes trajectory errors.
+
+TPU design: the per-batch work (depth + iterative pose + scale factor) is
+one jitted function; windows stream through it at fixed batch size with a
+padded tail, so the whole sequence runs without recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcsfm.config import Config
+from tcsfm.data.dataset import SfMWindowDataset, SequenceData
+from tcsfm.data.loader import BatchLoader
+from tcsfm.data.transforms import WindowTransform
+from tcsfm.eval.scale_recovery import scale_recovery
+from tcsfm.eval.trajectory import ResultsLogger, compute_trajectory
+from tcsfm.solver.coupled import solve_pose, solve_pose_iteratively
+from tcsfm.utils.helpers import disp_to_depth
+
+METRIC_SCALE = 30.0
+
+
+class VOEvaluator:
+    def __init__(self, cfg: Config, depth_model, pose_model, params,
+                 batch_stats, dnet_rescaling: bool = True,
+                 cam_height: Optional[float] = None):
+        self.cfg = cfg
+        self.dnet = dnet_rescaling
+        self.cam_height = cam_height if cam_height is not None else cfg.camera_height
+        dvars = {"params": params["depth"], "batch_stats": batch_stats}
+        pvars = {"params": params["pose"]}
+
+        iterations = cfg.iterations
+
+        @jax.jit
+        def infer(target_img, source_imgs, K):
+            depth_apply = lambda im: depth_model.apply(dvars, im)  # noqa: E731
+            pose_apply = lambda im: pose_model.apply(pvars, im)    # noqa: E731
+
+            S, b = source_imgs.shape[0], target_img.shape[0]
+            imgs = jnp.concatenate(
+                [target_img,
+                 source_imgs.reshape((S * b,) + source_imgs.shape[2:])], 0)
+            disp_raw = depth_apply(imgs)[0]
+            scaled_disp, depth_all = disp_to_depth(
+                disp_raw, cfg.min_depth, cfg.max_depth)
+            depths = jnp.stack(
+                [depth_all[f * b:(f + 1) * b] for f in range(S + 1)])
+
+            if iterations == 1:
+                poses, poses_inv = solve_pose(pose_apply, target_img, source_imgs)
+            else:
+                poses, poses_inv = solve_pose_iteratively(
+                    iterations, depths, pose_apply, target_img, source_imgs, K)
+
+            scale = jnp.ones((b,))
+            if self.dnet:
+                # metric depth for ground-plane height (evaluate_vo_model.py:107-112)
+                metric_depth = METRIC_SCALE * depths[0][..., 0]
+                # per-sample scale: vmap over the batch
+                scale = jax.vmap(
+                    lambda d, k: scale_recovery(d[None], k[None],
+                                                self.cam_height)
+                )(metric_depth, K)
+            return poses, poses_inv, scale
+
+        self._infer = infer
+
+    def run_sequence(self, seq: SequenceData, batch_size: int = 8,
+                     verbose: bool = True) -> Dict:
+        """Full-sequence VO: pair windows (img_per_sample=2), stride 1."""
+        ds = SfMWindowDataset(
+            [seq], seq_len=2,
+            transform=WindowTransform(jitter=False, flip_prob=None),
+        )
+        loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False,
+                             pad_tail=True, prefetch=2)
+
+        fwd, inv, gts, scales = [], [], [], []
+        for batch in loader:
+            valid = batch.pop("_valid")
+            poses, poses_inv, scale = self._infer(
+                jnp.asarray(batch["target_img"]),
+                jnp.asarray(batch["source_imgs"]),
+                jnp.asarray(batch["intrinsics"]),
+            )
+            n = int(valid.sum())
+            fwd.append(np.asarray(poses[0])[:n])
+            inv.append(np.asarray(poses_inv[0])[:n])
+            gts.append(batch["gt_lie_alg"][0][:n])
+            scales.append(np.asarray(scale)[:n])
+
+        fwd = np.concatenate(fwd)
+        inv = np.concatenate(inv)
+        gts = np.concatenate(gts)
+        scales = np.concatenate(scales).reshape(-1, 1)
+
+        fwd[:, 0:3] *= METRIC_SCALE
+        inv[:, 0:3] *= METRIC_SCALE
+        unscaled = (fwd - inv) / 2.0                  # evaluate_vo_model.py:140
+
+        results = {"fwd_pose_vec": fwd, "inv_pose_vec": inv,
+                   "gt_pose_vec": gts, "dnet_scale_factor": scales}
+        logger = ResultsLogger()
+        gt_traj = seq.gt_poses
+
+        _, _, errors, _ = compute_trajectory(
+            unscaled, gt_traj, method="unscaled", compute_seg_err=True,
+            verbose=verbose)
+        logger.log(seq.name, "unscaled", *errors)
+        results["errors_unscaled"] = errors
+
+        if self.dnet:
+            scaled_dnet = unscaled.copy()
+            scaled_dnet[:, 0:3] *= scales
+            _, _, errors, _ = compute_trajectory(
+                scaled_dnet, gt_traj, method="scaled (dnet)",
+                compute_seg_err=True, verbose=verbose)
+            logger.log(seq.name, "dnet scaled", *errors)
+            results["errors_dnet"] = errors
+
+        # GT mean-norm scaling (evaluate_vo_model.py:142-145)
+        gt_scale = (
+            np.mean(np.linalg.norm(gts[:, 0:3], axis=1))
+            / max(np.mean(np.linalg.norm(unscaled[:, 0:3], axis=1)), 1e-12)
+        )
+        scaled_gt = unscaled.copy()
+        scaled_gt[:, 0:3] *= gt_scale
+        _, _, errors, _ = compute_trajectory(
+            scaled_gt, gt_traj, method="scaled (gt)", compute_seg_err=True,
+            verbose=verbose)
+        logger.log(seq.name, "gt scaled", *errors)
+        results["errors_gt_scaled"] = errors
+        results["gt_scale"] = gt_scale
+        results["logger"] = logger.results
+        return results
