@@ -28,9 +28,14 @@ from tcsfm.solver.coupled import solve_pose_iteratively
 
 
 def photometric_error(target_img, source_img, target_depth, source_depth,
-                      pose, K) -> jax.Array:
+                      pose, K, automask: bool = True) -> jax.Array:
     """Masked SSIM+L1 photometric error for one pose hypothesis
-    (optimization_experiments/helpers.py:8-23). Returns [B]."""
+    (optimization_experiments/helpers.py:8-23). Returns [B].
+
+    ``automask=False`` drops the stationarity mask — useful for loss
+    surfaces, where the shrinking automask at bad poses creates spurious
+    low-error dips.
+    """
     img_rec, valid_mask, projected_depth, computed_depth = inverse_warp2(
         source_img, target_depth, source_depth, -pose, K)
     tgt = jax.lax.stop_gradient(target_img)
@@ -38,11 +43,13 @@ def photometric_error(target_img, source_img, target_depth, source_depth,
         0.15 * jnp.clip(jnp.abs(img_rec - tgt), 0, 1)
         + 0.85 * ssim_loss(tgt, img_rec),
         axis=-1, keepdims=True)
-    auto = jnp.mean(
-        0.15 * jnp.clip(jnp.abs(source_img - tgt), 0, 1)
-        + 0.85 * ssim_loss(tgt, source_img),
-        axis=-1, keepdims=True)
-    mask = (diff < auto).astype(diff.dtype) * valid_mask
+    mask = valid_mask
+    if automask:
+        auto = jnp.mean(
+            0.15 * jnp.clip(jnp.abs(source_img - tgt), 0, 1)
+            + 0.85 * ssim_loss(tgt, source_img),
+            axis=-1, keepdims=True)
+        mask = (diff < auto).astype(diff.dtype) * valid_mask
     num = jnp.sum(diff * mask, axis=(1, 2, 3))
     den = jnp.sum(mask, axis=(1, 2, 3))
     # empty mask → NaN, matching the reference's 0/0 at degenerate poses
@@ -51,7 +58,8 @@ def photometric_error(target_img, source_img, target_depth, source_depth,
 
 def loss_surface(target_img, source_img, target_depth, source_depth,
                  pose, K, trans_offsets: np.ndarray,
-                 yaw_offsets: np.ndarray) -> Dict[str, np.ndarray]:
+                 yaw_offsets: np.ndarray,
+                 automask: bool = True) -> Dict[str, np.ndarray]:
     """Photometric error along tz and yaw offsets around ``pose``.
 
     Mirrors generate_loss_surface (run_sample_optimization_demo.py:214-217 /
@@ -63,7 +71,7 @@ def loss_surface(target_img, source_img, target_depth, source_depth,
         def one(dz):
             p = pose.at[:, 2].add(dz)
             return photometric_error(target_img, source_img, target_depth,
-                                     source_depth, p, K)
+                                     source_depth, p, K, automask=automask)
         return jax.vmap(one)(offsets)
 
     @jax.jit
@@ -71,7 +79,7 @@ def loss_surface(target_img, source_img, target_depth, source_depth,
         def one(dy):
             p = pose.at[:, 4].add(dy)
             return photometric_error(target_img, source_img, target_depth,
-                                     source_depth, p, K)
+                                     source_depth, p, K, automask=automask)
         return jax.vmap(one)(offsets)
 
     return {
