@@ -60,7 +60,8 @@ def main():
             for f in range(S + 1)
         ])
         poses, poses_inv = solve_pose_iteratively(
-            ITERS, depths, pose_apply, target_img, source_imgs, K)
+            ITERS, depths, pose_apply, target_img, source_imgs, K,
+            use_mxu_warp=True)
         return poses
 
     def timed_loop(n_iter):

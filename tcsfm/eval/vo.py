@@ -32,7 +32,8 @@ METRIC_SCALE = 30.0
 class VOEvaluator:
     def __init__(self, cfg: Config, depth_model, pose_model, params,
                  batch_stats, dnet_rescaling: bool = True,
-                 cam_height: Optional[float] = None):
+                 cam_height: Optional[float] = None,
+                 use_mxu_warp: bool = False):
         self.cfg = cfg
         self.dnet = dnet_rescaling
         self.cam_height = cam_height if cam_height is not None else cfg.camera_height
@@ -60,7 +61,8 @@ class VOEvaluator:
                 poses, poses_inv = solve_pose(pose_apply, target_img, source_imgs)
             else:
                 poses, poses_inv = solve_pose_iteratively(
-                    iterations, depths, pose_apply, target_img, source_imgs, K)
+                    iterations, depths, pose_apply, target_img, source_imgs, K,
+                    use_mxu_warp=use_mxu_warp)
 
             scale = jnp.ones((b,))
             if self.dnet:

@@ -1,0 +1,222 @@
+"""MXU-based bilinear grid sampling — the framework's flagship Pallas kernel.
+
+Why: XLA's TPU gather is pathologically slow for per-pixel bilinear
+sampling (~100 ms for a 24x192x640 warp batch — measured; the gather unit
+streams single elements). This kernel re-expresses the sampler as dense
+math the TPU is built for:
+
+  bilinear(y, x) = Σ_r Σ_c tent(y-r) · tent(x-c) · I[r, c]
+
+For each group of 8 output rows, the source rows live in a narrow vertical
+BAND (SfM warps are smooth: vertical parallax within a few output rows
+spans a few source rows). The kernel:
+  1. DMAs the band of source rows (contiguous!) into VMEM,
+  2. builds the horizontal tent-weight matrix A[c, j] = tent(x_j - c)
+     from an iota (no gather),
+  3. computes R = S @ A on the MXU — every "gather" is now a matmul,
+  4. applies the vertical tent weights on the VPU and writes the row.
+
+Zeros-padding semantics (torch grid_sample align_corners=False) fall out
+naturally: out-of-image tent taps hit zero-padded columns / missing rows
+and contribute 0, and coordinates pushed out by the reference's OOB rule
+(stn.py:224-228) land outside every tent support.
+
+Exactness: results are exact bilinear whenever each 8-row group's vertical
+source spread fits in ``band`` rows; pixels whose true source rows fall
+outside the band sample as zeros (flagged by ``vertical_band_ok``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS_PER_GROUP = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
+                 exact: bool = True):
+    """Build the 8-output-rows-per-step sampling kernel.
+
+    base_ref: [B*H/8] int32 (scalar prefetch) — band start per row group.
+    x_ref, y_ref: [1, 8, Wp] f32 blocks — source coords for the group.
+    img_ref: [B, C, H, Wp] in ANY/HBM — source image, channel-major.
+    out_ref: [1, C, 8, Wp] output block.
+    s_scratch: [C*BV, Wp] VMEM — the DMA'd source band, channel-major.
+    """
+    G = ROWS_PER_GROUP
+
+    def kernel(base_ref, x_ref, y_ref, img_ref, out_ref, s_scratch, sem):
+        b = pl.program_id(0)
+        g = pl.program_id(1)
+        # bases are pre-rounded to sublane multiples; hint the compiler so
+        # the strided DMA slice is provably tile-aligned
+        base = pl.multiple_of(base_ref[b * (H // G) + g], 8)
+
+        # 1. DMA the vertical band, one strided copy per channel:
+        #    img[b, ch, base:base+BV, :] -> s_scratch[ch*BV:(ch+1)*BV, :]
+        for ch in range(C):
+            dma = pltpu.make_async_copy(
+                img_ref.at[b, ch, pl.ds(base, BV), :],
+                s_scratch.at[pl.ds(ch * BV, BV), :],
+                sem,
+            )
+            dma.start()
+            dma.wait()
+
+        basef = base.astype(jnp.float32)
+        # Mosaic iota must be integer-typed; cast to f32 where needed
+        v_ids = lax.broadcasted_iota(jnp.int32, (BV, Wp), 0).astype(jnp.float32)
+        ci = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0)   # [Wp(c), Wp(j)]
+        col = lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+
+        # 2. Decompose the horizontal tent into BINARY selection:
+        #      tent(x - c) = eq(c, ⌊x⌋)·(1-f) + eq(c, ⌊x⌋+1)·f,  f = x-⌊x⌋
+        #    The matmul operands become exact 0/1 matrices (bf16-exact);
+        #    the fractional weights apply as a cheap f32 column scale AFTER
+        #    the matmul. hi/lo-splitting S once per group keeps full f32
+        #    accuracy with plain bf16 MXU passes.
+        S = s_scratch[:, :]
+        S_hi = S.astype(jnp.bfloat16)
+        M = C * BV
+        if exact:
+            S_lo = (S - S_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            S2 = jnp.concatenate([S_hi, S_lo], axis=0)      # [2M, Wp]
+        else:
+            # fast mode: bf16 image values (≤2e-3 abs error — below the
+            # 8-bit quantization of real image data)
+            S2 = S_hi
+
+        for r in range(G):
+            x = x_ref[0, r, :].reshape(1, Wp)              # [1, Wp(j)]
+            y = y_ref[0, r, :].reshape(1, Wp)
+
+            xi = jnp.floor(x)
+            f = x - xi                                      # [1, Wp] f32
+            xi_i = xi.astype(jnp.int32)
+            A0 = (ci == xi_i).astype(jnp.bfloat16)          # c = ⌊x⌋ tap
+            A1 = (ci == xi_i + 1).astype(jnp.bfloat16)      # c = ⌊x⌋+1 tap
+            AA = jnp.concatenate([A0, A1], axis=1)          # [Wp, 2Wp]
+
+            # 3. MXU: both taps (and both S halves when exact) in ONE matmul
+            R2 = jnp.dot(S2, AA, preferred_element_type=jnp.float32)
+            if exact:
+                R = (
+                    (R2[0:M, 0:Wp] + R2[M:2 * M, 0:Wp]) * (1.0 - f)
+                    + (R2[0:M, Wp:] + R2[M:2 * M, Wp:]) * f
+                )                                           # [M, Wp] exact
+            else:
+                R = R2[0:M, 0:Wp] * (1.0 - f) + R2[0:M, Wp:] * f
+
+            # 4. vertical tents ty[v, j] = max(0, 1 - |y_j - (base + v)|)
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(y - (v_ids + basef)))
+
+            for ch in range(C):
+                row = jnp.sum(ty * R[ch * BV:(ch + 1) * BV, :], axis=0,
+                              keepdims=True)                # [1, Wp]
+                out_ref[0, ch, r, :] = row[0, :].astype(out_dtype)
+
+    return kernel
+
+
+def _band_bases(y: jax.Array, H: int, BV: int) -> jax.Array:
+    """Band start per 8-row group: cover floor(min y) of non-pushed coords
+    over the whole group, clipped to valid rows. y: [B, H, W]."""
+    B, Hh, W = y.shape
+    G = ROWS_PER_GROUP
+    yg = y.reshape(B, Hh // G, G * W)
+    pushed = yg > (H + 0.5)          # the OOB push lands at 1.5H - 0.5
+    y_eff = jnp.where(pushed, jnp.float32(H), yg)
+    ymin = jnp.min(y_eff, axis=-1)                        # [B, H/G]
+    base = jnp.clip(jnp.floor(ymin), 0, max(H - BV, 0)).astype(jnp.int32)
+    # round down to a sublane multiple so the band DMA is tile-aligned
+    # (the +8 margin is budgeted into the caller's band size)
+    return (base // 8) * 8
+
+
+def vertical_band_ok(coords: jax.Array, H: int, band: int = 32) -> jax.Array:
+    """Diagnostic: per-group flag that the band covers all valid source rows."""
+    y = ((coords[..., 1] + 1.0) * H - 1.0) * 0.5
+    B, Hh, W = y.shape
+    G = ROWS_PER_GROUP
+    yg = y.reshape(B, Hh // G, G * W)
+    pushed = yg > (H + 0.5)
+    y_min = jnp.min(jnp.where(pushed, jnp.float32(H), yg), axis=-1)
+    y_max = jnp.max(jnp.where(pushed, jnp.float32(-H), yg), axis=-1)
+    # -2 for the bilinear tap, -7 for the sublane rounding of the base
+    return (y_max - y_min) <= (band - 9)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "interpret", "exact"))
+def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
+                    interpret: bool = False, exact: bool = True) -> jax.Array:
+    """Bilinear sampling with zeros padding, align_corners=False — MXU path.
+
+    Args:
+      img:    [B, H, W, C] source image. H must be a multiple of 8.
+      coords: [B, H, W, 2] normalized (x, y) in the reference convention
+              (2*(u/(W-1)) - 1, OOB pushed to 2.0).
+      band:   vertical band size (source rows per 8-row output group).
+      exact:  f32-accurate values (hi/lo split); False → single bf16 pass
+              on the image values (~2e-3 abs, half the matmul cost).
+
+    Returns [B, H, W, C]; float32.
+    """
+    B, H, W, C = img.shape
+    assert H % ROWS_PER_GROUP == 0, f"H={H} must be a multiple of 8"
+    # minimum viable band: 8 output rows/group + 2 bilinear taps + up to 7
+    # rows lost to sublane rounding of the base → 17, aligned up to 24
+    BV = min(max(band, ROWS_PER_GROUP + 2 + 7), H)
+    BV = max(_round_up(BV, 8), ROWS_PER_GROUP)
+    Wp = _round_up(W, 128)
+
+    x = ((coords[..., 0] + 1.0) * W - 1.0) * 0.5           # [B, H, W]
+    y = ((coords[..., 1] + 1.0) * H - 1.0) * 0.5
+    base = _band_bases(y, H, BV).reshape(-1)               # [B*H/8]
+
+    # channel-major layout + lane padding; pad x with a far value so the
+    # padded output columns sample zero
+    img_chw = jnp.pad(
+        img.transpose(0, 3, 1, 2).astype(jnp.float32),
+        ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
+    )
+    pad_x = jnp.full((B, H, Wp - W), jnp.float32(3 * Wp))
+    x_p = jnp.concatenate([x.astype(jnp.float32), pad_x], axis=-1)
+    y_p = jnp.pad(y.astype(jnp.float32), ((0, 0), (0, 0), (0, Wp - W)))
+
+    G = ROWS_PER_GROUP
+    kernel = _make_kernel(C, H, Wp, BV, jnp.float32, exact=exact)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H // G),
+        in_specs=[
+            pl.BlockSpec((1, G, Wp), lambda b, g, base: (b, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, Wp), lambda b, g, base: (b, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, C, G, Wp), lambda b, g, base: (b, 0, g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((C * BV, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, C, H, Wp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(base, x_p, y_p, img_chw)
+
+    return out[:, :, :, :W].transpose(0, 2, 3, 1)

@@ -24,7 +24,7 @@ from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from tcsfm.geom.warp import inverse_warp2
+from tcsfm.geom.warp import inverse_warp2, inverse_warp2_mxu
 from tcsfm.losses.photometric import ssim_loss
 
 
@@ -93,6 +93,7 @@ def solve_pose_iteratively(
     return_errors: bool = False,
     trans_pert: Optional[jax.Array] = None,
     yaw_pert: Optional[jax.Array] = None,
+    use_mxu_warp: bool = False,
 ):
     """Iterative coupled pose estimation (train_mono.py:41-120).
 
@@ -115,6 +116,8 @@ def solve_pose_iteratively(
                    injected into the *initial* pose estimate — the
                    fault-injection capability of
                    pose_perturbation_experiment.py:146-151.
+      use_mxu_warp: route warps through the Pallas MXU sampler (10-20x
+                   faster; forward/inference only — no sampler VJP yet).
 
     Returns:
       (poses [S, B, 6], poses_inv [S, B, 6]) and, when return_errors, a
@@ -139,6 +142,8 @@ def solve_pose_iteratively(
     target_depth_full = jnp.concatenate([tgt_depths_flat, src_depths_flat], 0)
     source_depth_full = jnp.concatenate([src_depths_flat, tgt_depths_flat], 0)
 
+    warp = inverse_warp2_mxu if use_mxu_warp else inverse_warp2
+
     full_poses = pose_apply(imgs)                             # [2SB, 6]
 
     if trans_pert is not None:
@@ -149,7 +154,7 @@ def solve_pose_iteratively(
     rec_target = imgs[..., 0:3]   # reconstruction target (first 3 channels)
     rec_source = imgs[..., 3:6]   # image being warped
 
-    img_rec, valid_mask, projected_depth, computed_depth = inverse_warp2(
+    img_rec, valid_mask, projected_depth, computed_depth = warp(
         rec_source, target_depth_full, source_depth_full, -full_poses, K_full
     )
 
@@ -159,7 +164,7 @@ def solve_pose_iteratively(
         new_imgs = jnp.concatenate([rec_target * valid_mask, img_rec], axis=-1)
         full_poses = full_poses + pose_apply(new_imgs)
         stacked_poses.append(full_poses)
-        img_rec, valid_mask, projected_depth, computed_depth = inverse_warp2(
+        img_rec, valid_mask, projected_depth, computed_depth = warp(
             rec_source, target_depth_full, source_depth_full, -full_poses,
             K_full,
         )
