@@ -1,0 +1,81 @@
+"""VO evaluation CLI (paper_plots_and_data/evaluate_vo_model.py equivalent).
+
+Runs full-sequence pair-wise coupled inference on KITTI odometry test
+sequences, with DNet and GT scaling variants, and reports m-ATE + segment
+errors. ``--synthetic`` evaluates on a generated sequence (smoke mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", type=str, default="",
+                   help="checkpoint dir (config.json + checkpoint.msgpack)")
+    p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--seqs", nargs="+", default=["09_02", "10_02"])
+    p.add_argument("--iterations", type=int, default=0,
+                   help="override test-time iterations (0 = training value)")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--no_dnet", action="store_true")
+    p.add_argument("--use_mxu_warp", action="store_true", default=True)
+    p.add_argument("--no_mxu_warp", dest="use_mxu_warp", action="store_false")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--out", type=str, default="")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from tcsfm.config import Config
+    from tcsfm.data.dataset import SequenceData
+    from tcsfm.data.synthetic import make_synthetic_sequence
+    from tcsfm.eval.vo import VOEvaluator
+    from tcsfm.train.checkpoint import load_checkpoint
+    from tcsfm.train.trainer import create_train_state
+
+    if args.model_dir:
+        cfg = Config.load(os.path.join(args.model_dir, "config.json"))
+    else:
+        cfg = Config(iterations=2, compute_dtype="float32")
+    if args.iterations:
+        cfg = cfg.replace(iterations=args.iterations)
+
+    state, depth_model, pose_model = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
+    if args.model_dir:
+        state, _, _ = load_checkpoint(args.model_dir, state, load_best=True)
+
+    ev = VOEvaluator(cfg, depth_model, pose_model, state.params,
+                     state.batch_stats, dnet_rescaling=not args.no_dnet,
+                     use_mxu_warp=args.use_mxu_warp)
+
+    all_results = {}
+    for seq_name in (["synthetic"] if args.synthetic else args.seqs):
+        if args.synthetic:
+            seq = make_synthetic_sequence(24, (64, 96), seed=11)
+        else:
+            d = os.path.join(args.data_dir, seq_name)
+            npz = os.path.join(d, "sequence_data.npz")
+            seq = (SequenceData.from_npz(npz) if os.path.exists(npz)
+                   else SequenceData.from_reference_pkl(d, seq_name))
+        res = ev.run_sequence(seq, batch_size=args.batch)
+        all_results[seq_name] = {
+            k: v for k, v in res.items()
+            if k.startswith("errors") or k == "gt_scale"
+        }
+
+    print(json.dumps(all_results, default=str, indent=2))
+    if args.out:
+        import numpy as np
+
+        np.savez(args.out, **{k: json.dumps(v, default=str)
+                              for k, v in all_results.items()})
+    return all_results
+
+
+if __name__ == "__main__":
+    main()
