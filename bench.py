@@ -49,7 +49,7 @@ def main():
         cfg, jax.random.PRNGKey(0), steps_per_epoch=100)
     params, batch_stats = state.params, state.batch_stats
 
-    def forward(target_img, source_imgs, K):
+    def forward(params, batch_stats, target_img, source_imgs, K):
         depth_vars = {"params": params["depth"], "batch_stats": batch_stats}
         pose_vars = {"params": params["pose"]}
         depth_apply = lambda imgs: depth_model.apply(depth_vars, imgs)  # noqa
@@ -64,45 +64,46 @@ def main():
             use_mxu_warp=True)
         return poses
 
-    def timed_loop(n_iter):
-        @jax.jit
-        def run(target_img, source_imgs, K):
-            def body(i, carry):
-                tgt, acc = carry
-                poses = forward(tgt, source_imgs, K)
-                # data dependency: next iteration's input depends on this
-                # iteration's output, so XLA cannot elide or reorder work
-                tgt = tgt + jnp.sum(poses) * 1e-9
-                return tgt, acc + jnp.sum(poses)
+    # NOTE: params/batch_stats/images are explicit ARGUMENTS — closing over
+    # them embeds ~60MB of constants in the executable and makes the remote
+    # compile pathologically slow.
+    @jax.jit
+    def step(params, batch_stats, target_img, source_imgs, K):
+        poses = forward(params, batch_stats, target_img, source_imgs, K)
+        # chainable scalar output: forces full execution on fetch
+        return jnp.sum(poses)
 
-            _, acc = jax.lax.fori_loop(
-                0, n_iter, body, (target_img, jnp.float32(0.0)))
-            return acc
-        return run
+    @jax.jit
+    def noop(x):
+        return x + 1.0
 
     rng = np.random.RandomState(0)
     Kmat = np.array([[370.0, 0, W / 2], [0, 370.0, H / 2], [0, 0, 1]],
                     np.float32)
     args = (
+        params, batch_stats,
         jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32)),
         jnp.asarray(rng.rand(S, B, H, W, 3).astype(np.float32)),
         jnp.asarray(np.broadcast_to(Kmat, (B, 3, 3)).copy()),
     )
 
-    def measure(n_iter, reps=3):
-        run = timed_loop(n_iter)
-        float(run(*args))  # compile + warm
+    # warm + compile
+    float(step(*args))
+    float(noop(jnp.float32(0.0)))
+
+    def measure(fn, fargs, reps):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(run(*args))  # scalar fetch forces completion
+            float(fn(*fargs))        # scalar fetch forces completion
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k_small, k_large = 5, 55
-    t_small = measure(k_small)
-    t_large = measure(k_large)
-    per_call = (t_large - t_small) / (k_large - k_small)
+    # dispatch+fetch round-trip latency, measured on a trivial kernel and
+    # subtracted (block_until_ready does not wait under the remote tunnel)
+    latency = measure(noop, (jnp.float32(0.0),), reps=10)
+    total = measure(step, args, reps=10)
+    per_call = max(total - latency, 1e-6)
     frames_per_s = B / per_call
 
     print(json.dumps({

@@ -146,10 +146,55 @@ def main(argv=None):
     mesh = make_mesh(n_dev)
     trainer = Trainer(cfg, state, depth_model, pose_model, mesh=mesh)
 
+    from tcsfm.train.logging import MetricsWriter
+
+    writer = MetricsWriter(os.path.join(cfg.ckpt_dir, "logs"))
+
     for epoch in range(start_epoch, cfg.num_epochs):
         train_ds.reseed(epoch)
         train_losses = trainer.run_epoch(train_loader, epoch, "train")
         val_losses = trainer.run_epoch(val_loader, epoch, "val")
+
+        for k, v in train_losses.items():
+            writer.add_scalar(f"train/{k}", v, epoch + 1)
+        for k, v in val_losses.items():
+            writer.add_scalar(f"val/{k}", v, epoch + 1)
+
+        if epoch > 0:
+            # visual panels + trajectory eval (run_mono_training.py:186-221)
+            try:
+                from tcsfm import vis
+                from tcsfm.train.validate import (
+                    depth_and_reconstruction_panels, trajectory_eval)
+
+                panels = depth_and_reconstruction_panels(
+                    cfg, depth_model, pose_model, trainer.state.params,
+                    trainer.state.batch_stats, val_ds)
+                writer.add_image(
+                    "val/imgs",
+                    vis.image_grid(panels["triplets"].reshape(
+                        (-1,) + panels["triplets"].shape[2:])), epoch + 1)
+                writer.add_image(
+                    "val/depth", vis.colorize_disparity(
+                        panels["disparities"][0]), epoch + 1)
+                writer.add_image(
+                    "val/exp_mask",
+                    vis.image_grid(panels["exp_masks"][..., None]), epoch + 1)
+
+                if cfg.data_format == "odometry" and len(test_seqs):
+                    est, gt_lie, errors = trajectory_eval(
+                        cfg, depth_model, pose_model, trainer.state.params,
+                        trainer.state.batch_stats, test_ds,
+                        test_seqs[0].gt_poses)
+                    writer.add_scalar("test/t_ate", errors[0], epoch + 1)
+                    writer.add_scalar("test/r_ate", errors[1], epoch + 1)
+                    writer.add_scalar("test/t_seg", errors[2], epoch + 1)
+                    writer.add_scalar("test/r_seg", errors[3], epoch + 1)
+                    writer.add_image("test/pose_components",
+                                     vis.plot_pose_components(est, "est"),
+                                     epoch + 1)
+            except Exception as e:  # visualization must never kill training
+                print(f"validation visualization failed: {e}")
 
         key_metric = (val_losses.get("l_reconstruct_forward", 0.0)
                       + val_losses.get("l_reconstruct_inverse", 0.0))
@@ -159,6 +204,7 @@ def main(argv=None):
             print("Lowest validation loss (saving new best model)")
         save_checkpoint(cfg.ckpt_dir, trainer.state, epoch, best_val,
                         cfg=cfg, is_best=is_best)
+    writer.close()
     print("Training complete")
     return trainer
 

@@ -37,13 +37,17 @@ class VOEvaluator:
         self.cfg = cfg
         self.dnet = dnet_rescaling
         self.cam_height = cam_height if cam_height is not None else cfg.camera_height
-        dvars = {"params": params["depth"], "batch_stats": batch_stats}
-        pvars = {"params": params["pose"]}
+        # params are jit ARGUMENTS, not closures: closed-over pytrees embed
+        # ~60MB of constants in the executable and stall remote compiles
+        self._params = params
+        self._batch_stats = batch_stats
 
         iterations = cfg.iterations
 
         @jax.jit
-        def infer(target_img, source_imgs, K):
+        def infer(params, batch_stats, target_img, source_imgs, K):
+            dvars = {"params": params["depth"], "batch_stats": batch_stats}
+            pvars = {"params": params["pose"]}
             depth_apply = lambda im: depth_model.apply(dvars, im)  # noqa: E731
             pose_apply = lambda im: pose_model.apply(pvars, im)    # noqa: E731
 
@@ -91,6 +95,7 @@ class VOEvaluator:
         for batch in loader:
             valid = batch.pop("_valid")
             poses, poses_inv, scale = self._infer(
+                self._params, self._batch_stats,
                 jnp.asarray(batch["target_img"]),
                 jnp.asarray(batch["source_imgs"]),
                 jnp.asarray(batch["intrinsics"]),
