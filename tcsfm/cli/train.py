@@ -45,6 +45,8 @@ def parse_args(argv=None):
     p.add_argument("--freeze_depthnet", action="store_true")
     p.add_argument("--freeze_posenet", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--no_mxu_warp", action="store_true",
+                   help="disable the Pallas MXU warp (auto-on for TPU)")
     p.add_argument("--n_devices", type=int, default=0,
                    help="devices for the data mesh (0 = all)")
     p.add_argument("--synthetic", action="store_true",
@@ -121,6 +123,9 @@ def main(argv=None):
     cfg = build_config(args)
 
     import jax
+
+    if not args.no_mxu_warp and jax.default_backend() not in ("cpu",):
+        cfg = cfg.replace(use_mxu_warp=True)
 
     from tcsfm.data.loader import BatchLoader
     from tcsfm.dist.mesh import make_mesh

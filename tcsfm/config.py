@@ -79,6 +79,10 @@ class Config:
     # --- precision / performance -----------------------------------------
     compute_dtype: str = "bfloat16"   # network matmul/conv dtype
     param_dtype: str = "float32"
+    # Route warps through the Pallas MXU sampler (~10x on TPU, custom VJP).
+    # Off by default so CPU tests use the portable XLA path; the training /
+    # eval CLIs enable it on TPU backends.
+    use_mxu_warp: bool = False
 
     # --- distribution -----------------------------------------------------
     mesh_shape: Tuple[int, ...] = (1,)        # devices along the data axis

@@ -105,14 +105,15 @@ def _project_with_mask(cam_coords, K, pose_mat, h, w, zeros_padding=True):
 def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
                       pose: jax.Array, K: jax.Array, band: int = 32,
                       exact: bool = True):
-    """inverse_warp2 on the MXU sampling kernel (forward/inference path).
+    """inverse_warp2 on the MXU sampling kernel (differentiable).
 
     Fuses the image and source-depth resampling into ONE 4-channel kernel
     call (the reference runs two grid_samples, stn.py:266,271). ~10-20x
-    faster than the XLA gather path on TPU; no custom VJP yet — use the
-    plain ``inverse_warp2`` when gradients through the sampler are needed.
+    faster than the XLA gather path on TPU; gradients w.r.t. the sampled
+    image/depth and the coordinates flow through the custom-VJP Pallas
+    backward kernels (tcsfm/ops/warp_mxu_grad.py).
     """
-    from tcsfm.ops.warp_mxu import grid_sample_mxu
+    from tcsfm.ops.warp_mxu import grid_sample_mxu_diff
 
     b, h, w, _ = img.shape
     cam = backproject(depth, K)
@@ -120,7 +121,7 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     coords, computed_depth, valid = _project_with_mask(cam, K, pose_mat, h, w)
 
     packed = jnp.concatenate([img, ref_depth], axis=-1)     # [B, H, W, 4]
-    sampled = grid_sample_mxu(packed, coords, band=band, exact=exact)
+    sampled = grid_sample_mxu_diff(packed, coords, band, False, exact)
     warped_img = sampled[..., :3]
     projected_depth = sampled[..., 3:4]
     valid_mask = valid[..., None].astype(img.dtype)

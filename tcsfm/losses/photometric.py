@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tcsfm.config import Config
-from tcsfm.geom.warp import inverse_warp2
+from tcsfm.geom.warp import inverse_warp2, inverse_warp2_mxu
 from tcsfm.utils.helpers import disp_to_depth
 
 _C1 = 0.01 ** 2
@@ -107,7 +107,8 @@ def pairwise_loss(cfg: Config, tgt_img, ref_img, tgt_depth, ref_depth, pose, K):
     caller. Returns (l_reprojection, l_depth, diff_img [B,H,W,1],
     valid_mask [B,H,W,1]).
     """
-    warped, valid_mask, projected_depth, computed_depth = inverse_warp2(
+    warp = inverse_warp2_mxu if cfg.use_mxu_warp else inverse_warp2
+    warped, valid_mask, projected_depth, computed_depth = warp(
         ref_img, tgt_depth, ref_depth, pose, K
     )
 

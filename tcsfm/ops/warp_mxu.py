@@ -156,6 +156,37 @@ def vertical_band_ok(coords: jax.Array, H: int, band: int = 32) -> jax.Array:
     return (y_max - y_min) <= (band - 9)
 
 
+def band_geometry(H: int, W: int, band: int):
+    """(BV, Wp): sublane-aligned band size and lane-padded width.
+
+    Minimum viable band: 8 output rows/group + 2 bilinear taps + up to 7
+    rows lost to sublane rounding of the base → 17, aligned up to 24.
+    """
+    assert H % ROWS_PER_GROUP == 0, f"H={H} must be a multiple of 8"
+    BV = min(max(band, ROWS_PER_GROUP + 2 + 7), H)
+    BV = max(_round_up(BV, 8), ROWS_PER_GROUP)
+    return BV, _round_up(W, 128)
+
+
+def _prep_layout(img: jax.Array, coords: jax.Array, BV: int, Wp: int):
+    """Shared fwd/bwd layout prep: channel-major lane-padded image, padded
+    pixel coords, per-group band bases."""
+    B, H, W, C = img.shape
+    x = ((coords[..., 0] + 1.0) * W - 1.0) * 0.5           # [B, H, W]
+    y = ((coords[..., 1] + 1.0) * H - 1.0) * 0.5
+    base = _band_bases(y, H, BV).reshape(-1)               # [B*H/8]
+
+    img_chw = jnp.pad(
+        img.transpose(0, 3, 1, 2).astype(jnp.float32),
+        ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
+    )
+    # pad x with a far value so the padded output columns sample zero
+    pad_x = jnp.full((B, H, Wp - W), jnp.float32(3 * Wp))
+    x_p = jnp.concatenate([x.astype(jnp.float32), pad_x], axis=-1)
+    y_p = jnp.pad(y.astype(jnp.float32), ((0, 0), (0, 0), (0, Wp - W)))
+    return img_chw, x_p, y_p, base
+
+
 @functools.partial(jax.jit, static_argnames=("band", "interpret", "exact"))
 def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
                     interpret: bool = False, exact: bool = True) -> jax.Array:
@@ -172,26 +203,8 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
     Returns [B, H, W, C]; float32.
     """
     B, H, W, C = img.shape
-    assert H % ROWS_PER_GROUP == 0, f"H={H} must be a multiple of 8"
-    # minimum viable band: 8 output rows/group + 2 bilinear taps + up to 7
-    # rows lost to sublane rounding of the base → 17, aligned up to 24
-    BV = min(max(band, ROWS_PER_GROUP + 2 + 7), H)
-    BV = max(_round_up(BV, 8), ROWS_PER_GROUP)
-    Wp = _round_up(W, 128)
-
-    x = ((coords[..., 0] + 1.0) * W - 1.0) * 0.5           # [B, H, W]
-    y = ((coords[..., 1] + 1.0) * H - 1.0) * 0.5
-    base = _band_bases(y, H, BV).reshape(-1)               # [B*H/8]
-
-    # channel-major layout + lane padding; pad x with a far value so the
-    # padded output columns sample zero
-    img_chw = jnp.pad(
-        img.transpose(0, 3, 1, 2).astype(jnp.float32),
-        ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
-    )
-    pad_x = jnp.full((B, H, Wp - W), jnp.float32(3 * Wp))
-    x_p = jnp.concatenate([x.astype(jnp.float32), pad_x], axis=-1)
-    y_p = jnp.pad(y.astype(jnp.float32), ((0, 0), (0, 0), (0, Wp - W)))
+    BV, Wp = band_geometry(H, W, band)
+    img_chw, x_p, y_p, base = _prep_layout(img, coords, BV, Wp)
 
     G = ROWS_PER_GROUP
     kernel = _make_kernel(C, H, Wp, BV, jnp.float32, exact=exact)
@@ -220,3 +233,51 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
     )(base, x_p, y_p, img_chw)
 
     return out[:, :, :, :W].transpose(0, 2, 3, 1)
+
+
+# --------------------------------------------------------------------------
+# differentiable wrapper (backward kernels in tcsfm/ops/warp_mxu_grad.py)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def grid_sample_mxu_diff(img: jax.Array, coords: jax.Array, band: int = 32,
+                         interpret: bool = False,
+                         exact: bool = True) -> jax.Array:
+    """grid_sample_mxu with a custom VJP (d_img and d_coords as Pallas
+    kernels with the same banded-matmul structure as the forward)."""
+    return grid_sample_mxu(img, coords, band=band, interpret=interpret,
+                           exact=exact)
+
+
+def _gsm_fwd(img, coords, band, interpret, exact):
+    out = grid_sample_mxu(img, coords, band=band, interpret=interpret,
+                          exact=exact)
+    return out, (img, coords)
+
+
+def _gsm_bwd(band, interpret, exact, res, g):
+    from tcsfm.ops.warp_mxu_grad import grid_sample_mxu_bwd
+
+    img, coords = res
+    B, H, W, C = img.shape
+    BV, Wp = band_geometry(H, W, band)
+    img_chw, x_p, y_p, base = _prep_layout(img, coords, BV, Wp)
+    g_chw = jnp.pad(
+        g.transpose(0, 3, 1, 2).astype(jnp.float32),
+        ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
+    )
+    dimg_chw, dx, dy = grid_sample_mxu_bwd(
+        img_chw, x_p, y_p, base, g_chw, band=BV, interpret=interpret)
+
+    d_img = dimg_chw[:, :, :, :W].transpose(0, 2, 3, 1).astype(img.dtype)
+    # chain rule pixel→normalized: x_pix = ((cx+1)·W - 1)/2 → d/dcx = W/2.
+    # Pushed-OOB coords already get zero gradient (selectors/tents vanish),
+    # matching the reference's detached masked assignment (stn.py:224-228).
+    dcx = dx[:, :, :W] * (W / 2.0)
+    dcy = dy[:, :, :W] * (H / 2.0)
+    d_coords = jnp.stack([dcx, dcy], axis=-1).astype(coords.dtype)
+    return d_img, d_coords
+
+
+grid_sample_mxu_diff.defvjp(_gsm_fwd, _gsm_bwd)

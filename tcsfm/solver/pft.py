@@ -260,6 +260,7 @@ class PFTOptimizer:
                 cfg.iterations, depths, lambda x: self.pose_model.apply(
                     {"params": pp}, x),
                 target_img, source_imgs, K, return_errors=True,
+                use_mxu_warp=cfg.use_mxu_warp,
             )
             loss = compute_optimization_loss(
                 opts, target_img, target_disp, init_target_disp,
