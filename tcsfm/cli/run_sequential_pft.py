@@ -1,0 +1,136 @@
+"""Sequential inference-time optimization over full sequences.
+
+Equivalent of optimization_experiments/run_sequential_optimization.py:
+for every test window, run ~20 PFT steps on the selected parameter subset
+(paper default: depth encoder), average the last 5 predictions, scale
+poses to metric (x30 + DNet ground-plane factor), and compare original vs
+optimized trajectories.
+
+TPU design: windows are independent → they batch on the leading axis and
+stream through ONE jitted optimization program (window-parallelism is the
+sequence-parallel axis of this workload; on a multi-chip mesh the batch
+shards over ``data``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", type=str, default="")
+    p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--seqs", nargs="+", default=["09_02"])
+    p.add_argument("--mode", type=str, default="encoder",
+                   help="encoder|all_depth|decoder|depth_pred|bottleneck|pose")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--window_batch", type=int, default=4)
+    p.add_argument("--extra_iterations", type=int, default=0,
+                   help="extra egomotion iterations at test time")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--out_dir", type=str, default="")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tcsfm.config import Config, PFTOptions
+    from tcsfm.data.dataset import SequenceData, SfMWindowDataset
+    from tcsfm.data.loader import BatchLoader
+    from tcsfm.data.synthetic import make_synthetic_sequence
+    from tcsfm.data.transforms import WindowTransform
+    from tcsfm.eval.trajectory import compute_trajectory
+    from tcsfm.solver.pft import PFTOptimizer
+    from tcsfm.train.checkpoint import load_checkpoint
+    from tcsfm.train.trainer import create_train_state
+
+    if args.model_dir:
+        cfg = Config.load(os.path.join(args.model_dir, "config.json"))
+    else:
+        cfg = Config(iterations=2, compute_dtype="float32")
+    cfg = cfg.replace(iterations=cfg.iterations + args.extra_iterations)
+    if jax.default_backend() not in ("cpu",):
+        cfg = cfg.replace(use_mxu_warp=True)
+
+    state, depth_model, pose_model = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
+    if args.model_dir:
+        state, _, _ = load_checkpoint(args.model_dir, state, load_best=True)
+
+    opts = PFTOptions(epochs=args.epochs, lr=args.lr, avg_final_epochs=5,
+                      num_source_imgs=2)
+    optimizer = PFTOptimizer(cfg, opts, depth_model, pose_model,
+                             mode=args.mode)
+
+    results = {}
+    for seq_name in (["synthetic"] if args.synthetic else args.seqs):
+        if args.synthetic:
+            seq = make_synthetic_sequence(16, (64, 96), seed=13)
+        else:
+            d = os.path.join(args.data_dir, seq_name)
+            npz = os.path.join(d, "sequence_data.npz")
+            seq = (SequenceData.from_npz(npz) if os.path.exists(npz)
+                   else SequenceData.from_reference_pkl(d, seq_name))
+
+        ds = SfMWindowDataset(
+            [seq], seq_len=3,
+            transform=WindowTransform(jitter=False, flip_prob=None))
+        loader = BatchLoader(ds, args.window_batch, shuffle=False,
+                             drop_last=False, pad_tail=True)
+
+        init_poses, opt_poses, init_inv, opt_inv, losses = [], [], [], [], []
+        for batch in loader:
+            valid = batch.pop("_valid")
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            res = optimizer.optimize_window_jit(
+                jbatch, state.params["depth"], state.params["pose"],
+                state.batch_stats)
+            n = int(valid.sum())
+            # source 1 is the NEXT frame (forward in time)
+            init_poses.append(np.asarray(res.poses_init)[1, :n])
+            opt_poses.append(np.asarray(res.poses_opt)[1, :n])
+            init_inv.append(np.asarray(res.poses_inv_init)[1, :n])
+            opt_inv.append(np.asarray(res.poses_inv_opt)[1, :n])
+            losses.append(np.asarray(res.losses))
+
+        def fuse(fwd_list, inv_list):
+            fwd = np.concatenate(fwd_list)
+            inv = np.concatenate(inv_list)
+            fused = (fwd - inv) / 2.0
+            fused[:, 0:3] *= 30.0
+            return fused
+
+        pose_init = fuse(init_poses, init_inv)
+        pose_opt = fuse(opt_poses, opt_inv)
+        gt_traj = seq.gt_poses[1:1 + len(pose_init) + 1]
+
+        _, _, err_init, _ = compute_trajectory(
+            pose_init, gt_traj, method="initial", compute_seg_err=True)
+        _, _, err_opt, _ = compute_trajectory(
+            pose_opt, gt_traj, method="optimized", compute_seg_err=True)
+
+        mean_losses = np.mean(np.stack(losses), axis=0)
+        results[seq_name] = {
+            "errors_initial": [float(e) for e in err_init],
+            "errors_optimized": [float(e) for e in err_opt],
+            "pft_loss_first": float(mean_losses[0]),
+            "pft_loss_last": float(mean_losses[-1]),
+        }
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            np.savez(os.path.join(args.out_dir, f"{seq_name}_pft.npz"),
+                     pose_init=pose_init, pose_opt=pose_opt,
+                     losses=np.stack(losses))
+
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()
