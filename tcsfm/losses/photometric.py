@@ -141,6 +141,15 @@ def pairwise_loss(cfg: Config, tgt_img, ref_img, tgt_depth, ref_depth, pose, K):
     return l_reprojection, l_depth, diff_img, valid_mask
 
 
+def _grouped_mean_on_mask(diff: jax.Array, mask: jax.Array,
+                          min_pixels: int = 10000) -> jax.Array:
+    """Per-group masked means with the sparse guard: diff/mask [G, B, H, W, 1]
+    → [G] (each group is one (direction, source) pair)."""
+    total = jnp.sum(mask, axis=(1, 2, 3, 4))
+    val = jnp.sum(diff * mask, axis=(1, 2, 3, 4)) / jnp.maximum(total, 1.0)
+    return jnp.where(total > min_pixels, val, 0.0)
+
+
 def compute_losses(cfg: Config,
                    source_imgs: jax.Array,
                    target_img: jax.Array,
@@ -149,6 +158,12 @@ def compute_losses(cfg: Config,
                    disparities: Sequence[Sequence[jax.Array]],
                    K: jax.Array) -> dict:
     """Full multi-scale loss dict (losses.py:75-140).
+
+    TPU note: all 2·S pairwise photometric terms of a scale run as ONE
+    packed warp + SSIM batch of 2·S·B (the same batching trick the solver
+    uses, train_mono.py:54-64) — per-source results come from reshapes,
+    not separate kernel launches. Math is identical to per-pair
+    ``pairwise_loss``.
 
     Args:
       source_imgs: [S, B, H, W, 3] source images (clean stream).
@@ -167,6 +182,7 @@ def compute_losses(cfg: Config,
     S = source_imgs.shape[0]
     b, h, w, _ = target_img.shape
     num_scales = cfg.num_scales
+    warp = inverse_warp2_mxu if cfg.use_mxu_warp else inverse_warp2
 
     losses = {
         "l_reconstruct_inverse": 0.0,
@@ -177,6 +193,8 @@ def compute_losses(cfg: Config,
 
     tgt_scales = disparities[0]
     src_scales = disparities[1:]
+    src_flat = source_imgs.reshape((S * b, h, w, 3))
+    tgt_rep = jnp.tile(target_img, (S, 1, 1, 1))
 
     for scale in range(num_scales):
         disp = tgt_scales[scale]
@@ -184,51 +202,77 @@ def compute_losses(cfg: Config,
             disp = jax.image.resize(disp, (b, h, w, 1), method="nearest")
         _, d = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
 
+        sdisps = []
+        for j in range(S):
+            sd = src_scales[j][scale]
+            if sd.shape[1] != h:
+                sd = jax.image.resize(sd, (b, h, w, 1), method="nearest")
+            sdisps.append(sd)
+        sdisp_flat = jnp.concatenate(sdisps, axis=0)         # [SB, H, W, 1]
+        _, src_d_flat = disp_to_depth(sdisp_flat, cfg.min_depth, cfg.max_depth)
+
         if cfg.l_smooth:
             losses["l_smooth"] += (
                 cfg.l_smooth_weight * smooth_loss(disp, target_img)
             ) / (2 ** scale)
+            # per-source smoothness, batched; sum of per-pair means equals
+            # the reference's accumulation (losses.py:108)
+            for j in range(S):
+                losses["l_smooth"] += (
+                    cfg.l_smooth_weight * smooth_loss(sdisps[j], source_imgs[j])
+                ) / (2 ** scale)
 
         if not cfg.l_reconstruction:
             continue
 
-        reconstruction_errors = []
-        masks = []
-        for j in range(S):
-            source_img = source_imgs[j]
-            pose, pose_inv = poses[j], poses_inv[j]
-            sdisp = src_scales[j][scale]
-            if sdisp.shape[1] != h:
-                sdisp = jax.image.resize(sdisp, (b, h, w, 1), method="nearest")
-            _, source_d = disp_to_depth(sdisp, cfg.min_depth, cfg.max_depth)
+        d_rep = jnp.tile(d, (S, 1, 1, 1))
+        # pack [fwd (S·B) ; inv (S·B)] exactly like the solver
+        tgt_pack = jnp.concatenate([tgt_rep, src_flat], 0)
+        ref_pack = jnp.concatenate([src_flat, tgt_rep], 0)
+        tgtd_pack = jnp.concatenate([d_rep, src_d_flat], 0)
+        refd_pack = jnp.concatenate([src_d_flat, d_rep], 0)
+        pose_pack = jnp.concatenate(
+            [-poses.reshape(S * b, 6), -poses_inv.reshape(S * b, 6)], 0)
+        K_pack = jnp.tile(K, (2 * S, 1, 1))
 
-            if cfg.l_smooth:
-                losses["l_smooth"] += (
-                    cfg.l_smooth_weight * smooth_loss(sdisp, source_img)
-                ) / (2 ** scale)
+        warped, valid_mask, projected_depth, computed_depth = warp(
+            ref_pack, tgtd_pack, refd_pack, pose_pack, K_pack)
 
-            # inverse reconstruction: target reprojected into the source
-            if cfg.l_inverse:
-                l_rep_inv, l_depth_inv, _, _ = pairwise_loss(
-                    cfg, source_img, target_img, source_d, d, -pose_inv, K
-                )
-                if cfg.l_depth_consist:
-                    losses["l_depth"] += cfg.l_depth_consist_weight * l_depth_inv
-                losses["l_reconstruct_inverse"] += 0.3 * l_rep_inv
+        diff_img = jnp.clip(jnp.abs(tgt_pack - warped), 0.0, 1.0)
+        if cfg.with_auto_mask:
+            auto = (
+                jnp.mean(diff_img, -1, keepdims=True)
+                < jnp.mean(jnp.abs(tgt_pack - ref_pack), -1, keepdims=True)
+            ).astype(diff_img.dtype)
+            valid_mask = auto * valid_mask
+        if cfg.l_ssim:
+            ssim_map = ssim_loss(tgt_pack, warped)
+            diff_img = jnp.mean(
+                cfg.l1_weight * diff_img + cfg.l_ssim_weight * ssim_map,
+                -1, keepdims=True)
+        diff_depth = jnp.clip(
+            jnp.abs(computed_depth - projected_depth)
+            / (computed_depth + projected_depth), 0.0, 1.0)
+        if cfg.with_depth_mask:
+            diff_img = diff_img * (1.0 - diff_depth)
 
-            # forward reconstruction: source reprojected into the target
-            l_rep, l_depth_f, diff_img, valid_mask = pairwise_loss(
-                cfg, target_img, source_img, d, source_d, -pose, K
-            )
-            if cfg.l_depth_consist:
-                losses["l_depth"] += cfg.l_depth_consist_weight * l_depth_f
-            reconstruction_errors.append(diff_img)
-            masks.append(valid_mask)
+        # regroup [2SB, ...] → [2S, B, H, W, 1]
+        diff_g = diff_img.reshape((2 * S, b, h, w, 1))
+        mask_g = valid_mask.reshape((2 * S, b, h, w, 1))
 
-        # min over sources of the per-pixel photometric error, then a full
-        # (unmasked) mean — losses.py:129-132.
-        err = jnp.concatenate(reconstruction_errors, axis=-1)  # [B,H,W,S]
-        losses["l_reconstruct_forward"] += jnp.mean(jnp.min(err, axis=-1))
+        if cfg.l_depth_consist:
+            dd_g = diff_depth.reshape((2 * S, b, h, w, 1))
+            n_groups = 2 * S if cfg.l_inverse else S
+            losses["l_depth"] += cfg.l_depth_consist_weight * jnp.sum(
+                _grouped_mean_on_mask(dd_g[:n_groups], mask_g[:n_groups]))
+
+        # forward: min over sources, unmasked mean (losses.py:129-132)
+        fwd_err = jnp.moveaxis(diff_g[:S], 0, -1)[..., 0, :]  # [B,H,W,S]
+        losses["l_reconstruct_forward"] += jnp.mean(jnp.min(fwd_err, axis=-1))
+
+        if cfg.l_inverse:
+            losses["l_reconstruct_inverse"] += 0.3 * jnp.sum(
+                _grouped_mean_on_mask(diff_g[S:], mask_g[S:]))
 
     total = 0.0
     for key in list(losses.keys()):
