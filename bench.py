@@ -32,7 +32,16 @@ BASELINE_FPS = 30.0  # KITTI camera rate: "real time" for online VO
 
 
 def main():
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.jax_cache"))
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+
     import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from tcsfm.config import Config

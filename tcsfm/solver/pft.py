@@ -163,18 +163,23 @@ class PFTResult(NamedTuple):
     poses_init: jax.Array
     poses_inv_init: jax.Array
     losses: jax.Array              # [epochs]
+    # full optimization history (optimizer_for_cont_plot.py capability):
+    # per-epoch poses/disparities for loss-surface animations
+    poses_hist: Optional[jax.Array] = None       # [epochs, S, B, 6]
+    disp_hist: Optional[jax.Array] = None        # [epochs, B, H, W]
 
 
 class PFTOptimizer:
     """Per-window inference-time optimizer (DepthOptimizer equivalent)."""
 
     def __init__(self, cfg: Config, opts: PFTOptions, depth_model, pose_model,
-                 mode: str = "encoder"):
+                 mode: str = "encoder", record_history: bool = False):
         self.cfg = cfg
         self.opts = opts
         self.mode = mode
         self.depth_model = depth_model
         self.pose_model = pose_model
+        self.record_history = record_history
         self._jitted = None
 
     # -- functional pieces --------------------------------------------------
@@ -300,6 +305,8 @@ class PFTOptimizer:
             poses_init=poses_hist[0],
             poses_inv_init=poses_inv_hist[0],
             losses=losses_hist,
+            poses_hist=poses_hist if self.record_history else None,
+            disp_hist=disp_hist if self.record_history else None,
         )
 
     def optimize_window_jit(self, batch, depth_params, pose_params,
