@@ -99,3 +99,43 @@ class TestPFTLoop:
         res = opt.optimize_window_jit(batch, dvars["params"], pvars["params"],
                                       dvars["batch_stats"])
         assert np.all(np.isfinite(np.asarray(res.losses)))
+
+    def test_window_sharded_matches_single_device(self, setup):
+        """PFT windows are independent → sharding the window batch over the
+        mesh's data axis (the sequence-parallel axis, SURVEY.md §5.7) must
+        reproduce single-device results."""
+        import jax
+
+        from tcsfm.dist.mesh import batch_sharding, make_mesh, replicated
+
+        cfg, dm, pm, dvars, pvars, batch = setup
+        # widen the batch to 4 so it splits over 4 devices
+        wide = {}
+        for k, v in batch.items():
+            axis = 1 if k in ("source_imgs", "gt_lie_alg", "vo_lie_alg",
+                              "source_imgs_aug", "gt_lie_alg_aug",
+                              "vo_lie_alg_aug", "dt") else 0
+            wide[k] = jnp.concatenate([v, v], axis=axis)
+
+        opts = PFTOptions(epochs=3, avg_final_epochs=2, num_source_imgs=2)
+        opt = PFTOptimizer(cfg, opts, dm, pm, mode="encoder")
+
+        res1 = opt.optimize_window(wide, dvars["params"], pvars["params"],
+                                   dvars["batch_stats"])
+
+        mesh = make_mesh(4)
+        sharded = {}
+        for k, v in wide.items():
+            axis = 1 if k in ("source_imgs", "gt_lie_alg", "vo_lie_alg",
+                              "source_imgs_aug", "gt_lie_alg_aug",
+                              "vo_lie_alg_aug", "dt") else 0
+            sharded[k] = jax.device_put(v, batch_sharding(mesh, axis))
+        params_r = jax.device_put(dvars["params"], replicated(mesh))
+        pose_r = jax.device_put(pvars["params"], replicated(mesh))
+        stats_r = jax.device_put(dvars["batch_stats"], replicated(mesh))
+        res4 = opt.optimize_window(sharded, params_r, pose_r, stats_r)
+
+        np.testing.assert_allclose(np.asarray(res1.poses_opt),
+                                   np.asarray(res4.poses_opt), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res1.losses),
+                                   np.asarray(res4.losses), rtol=1e-4)
