@@ -94,10 +94,21 @@ def load_datasets(cfg, args):
         test_seqs = [make_synthetic_sequence(args.synthetic_frames, (h, w),
                                              seed=9)]
     else:
-        def load(names):
+        def load(names, exclude=()):
+            if list(names) == ["all"]:
+                # ScanNet-style 'all': every sequence dir/npz in data_dir
+                # except val/test sequences (kitti_loader_stereo.py:55-69)
+                names = sorted(
+                    n.replace(".npz", "") for n in os.listdir(cfg.data_dir)
+                    if n not in exclude and not n.startswith(".")
+                )
+                names = [n for n in names if n not in exclude]
             out = []
             for n in names:
                 d = os.path.join(cfg.data_dir, n)
+                if os.path.exists(d + ".npz"):
+                    out.append(SequenceData.from_npz(d + ".npz"))
+                    continue
                 npz = os.path.join(d, "sequence_data.npz")
                 if os.path.exists(npz):
                     out.append(SequenceData.from_npz(npz))
@@ -105,7 +116,8 @@ def load_datasets(cfg, args):
                     out.append(SequenceData.from_reference_pkl(d, n))
             return out
 
-        train_seqs = load(cfg.train_seq)
+        train_seqs = load(cfg.train_seq,
+                          exclude=set(cfg.val_seq) | set(cfg.test_seq))
         val_seqs = load(cfg.val_seq)
         test_seqs = load(cfg.test_seq)
 

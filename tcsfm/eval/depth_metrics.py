@@ -50,25 +50,28 @@ def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """cv2.resize(bilinear) equivalent without the cv2 dependency."""
     try:
         import cv2
-
-        return cv2.resize(img, (w, h))
     except ImportError:
-        ih, iw = img.shape[:2]
-        # align_corners=False convention (matches cv2 INTER_LINEAR)
-        ys = (np.arange(h) + 0.5) * ih / h - 0.5
-        xs = (np.arange(w) + 0.5) * iw / w - 0.5
-        y0 = np.clip(np.floor(ys).astype(int), 0, ih - 1)
-        x0 = np.clip(np.floor(xs).astype(int), 0, iw - 1)
-        y1 = np.clip(y0 + 1, 0, ih - 1)
-        x1 = np.clip(x0 + 1, 0, iw - 1)
-        wy = np.clip(ys - y0, 0, 1)[:, None]
-        wx = np.clip(xs - x0, 0, 1)[None, :]
-        return (
-            img[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
-            + img[np.ix_(y0, x1)] * (1 - wy) * wx
-            + img[np.ix_(y1, x0)] * wy * (1 - wx)
-            + img[np.ix_(y1, x1)] * wy * wx
-        )
+        cv2 = None
+    if cv2 is not None and hasattr(cv2, "resize"):
+        # hasattr guards against partially stubbed cv2 modules
+        return cv2.resize(img, (w, h))
+
+    ih, iw = img.shape[:2]
+    # align_corners=False convention (matches cv2 INTER_LINEAR)
+    ys = (np.arange(h) + 0.5) * ih / h - 0.5
+    xs = (np.arange(w) + 0.5) * iw / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, ih - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, iw - 1)
+    y1 = np.clip(y0 + 1, 0, ih - 1)
+    x1 = np.clip(x0 + 1, 0, iw - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :]
+    return (
+        img[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+        + img[np.ix_(y0, x1)] * (1 - wy) * wx
+        + img[np.ix_(y1, x0)] * wy * (1 - wx)
+        + img[np.ix_(y1, x1)] * wy * wx
+    )
 
 
 def evaluate_eigen(

@@ -32,9 +32,13 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # BN computes in the model dtype (bf16): f32 normalization between
+        # bf16 convs materializes full-size f32 feature maps and breaks
+        # conv-epilogue fusion — measured 35 ms -> memory-bound encoder.
+        # Statistics/params stay f32 (flax default param_dtype).
         norm = lambda: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, axis_name=self.bn_axis_name,
+            dtype=self.dtype, axis_name=self.bn_axis_name,
         )
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
@@ -71,7 +75,7 @@ class ResNet18Encoder(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, kernel_init=kaiming_out, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
+                         epsilon=1e-5, dtype=self.dtype,
                          axis_name=self.bn_axis_name, name="bn1")(x)
         x = nn.relu(x)
         feats.append(x)                                       # H/2, 64
