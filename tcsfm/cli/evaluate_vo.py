@@ -22,7 +22,9 @@ def main(argv=None):
                    help="override test-time iterations (0 = training value)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--no_dnet", action="store_true")
-    p.add_argument("--use_mxu_warp", action="store_true", default=True)
+    p.add_argument("--use_mxu_warp", action="store_true", default=None,
+                   help="force the Pallas MXU warp (default: auto — on for "
+                        "TPU backends, off for CPU)")
     p.add_argument("--no_mxu_warp", dest="use_mxu_warp", action="store_false")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out", type=str, default="")
@@ -43,6 +45,8 @@ def main(argv=None):
         cfg = Config(iterations=2, compute_dtype="float32")
     if args.iterations:
         cfg = cfg.replace(iterations=args.iterations)
+    if args.use_mxu_warp is None:
+        args.use_mxu_warp = jax.default_backend() not in ("cpu",)
 
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=1)

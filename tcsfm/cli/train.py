@@ -22,7 +22,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="tcsfm training")
     p.add_argument("--flow_type", type=str, default="none")
     p.add_argument("--num_scales", type=int, default=1)
-    p.add_argument("--img_resolution", type=str, default="med")
+    p.add_argument("--img_resolution", type=str, default="med",
+                   choices=["low", "med", "high"])
     p.add_argument("--img_per_sample", type=int, default=3)
     p.add_argument("--iterations", type=int, default=4)
     p.add_argument("--data_dir", type=str, default="")
