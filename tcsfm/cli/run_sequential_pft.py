@@ -28,6 +28,11 @@ def main(argv=None):
     p.add_argument("--seqs", nargs="+", default=["09_02"])
     p.add_argument("--mode", type=str, default="encoder",
                    help="encoder|all_depth|decoder|depth_pred|bottleneck|pose")
+    p.add_argument("--refiner", type=str, default="adam",
+                   choices=["adam", "ba"],
+                   help="adam = reference-style PFT on network state; "
+                        "ba = direct Gauss-Newton bundle adjustment over "
+                        "pose + per-pixel depth (Schur complement)")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--window_batch", type=int, default=4)
@@ -68,6 +73,34 @@ def main(argv=None):
     optimizer = PFTOptimizer(cfg, opts, depth_model, pose_model,
                              mode=args.mode)
 
+    if args.refiner == "ba":
+        from tcsfm.solver.ba import photometric_ba
+        from tcsfm.solver.coupled import solve_disp, solve_pose_iteratively
+        from tcsfm.utils.helpers import disp_to_depth
+
+        @jax.jit
+        def ba_refine(params, batch_stats, target_img, source_imgs, K):
+            dvars = {"params": params["depth"], "batch_stats": batch_stats}
+            pvars = {"params": params["pose"]}
+            depth_apply = lambda im: depth_model.apply(dvars, im)  # noqa
+            pose_apply = lambda im: pose_model.apply(pvars, im)    # noqa
+            disps = solve_disp(depth_apply, target_img, source_imgs)
+            depths = jnp.stack([
+                disp_to_depth(disps[f][0], cfg.min_depth, cfg.max_depth)[1]
+                for f in range(len(disps))
+            ])
+            poses, poses_inv = solve_pose_iteratively(
+                cfg.iterations, depths, pose_apply, target_img, source_imgs,
+                K, use_mxu_warp=cfg.use_mxu_warp)
+            # direct BA on the forward/inverse pairs of source 1 (next frame)
+            fwd = photometric_ba(
+                poses[1], depths[0], target_img, source_imgs[1], depths[2],
+                K, iters=args.epochs // 2, depth_prior_weight=0.1)
+            inv = photometric_ba(
+                poses_inv[1], depths[2], source_imgs[1], target_img,
+                depths[0], K, iters=args.epochs // 2, depth_prior_weight=0.1)
+            return poses, poses_inv, fwd, inv
+
     results = {}
     for seq_name in (["synthetic"] if args.synthetic else args.seqs):
         if args.synthetic:
@@ -88,16 +121,26 @@ def main(argv=None):
         for batch in loader:
             valid = batch.pop("_valid")
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-            res = optimizer.optimize_window_jit(
-                jbatch, state.params["depth"], state.params["pose"],
-                state.batch_stats)
             n = int(valid.sum())
-            # source 1 is the NEXT frame (forward in time)
-            init_poses.append(np.asarray(res.poses_init)[1, :n])
-            opt_poses.append(np.asarray(res.poses_opt)[1, :n])
-            init_inv.append(np.asarray(res.poses_inv_init)[1, :n])
-            opt_inv.append(np.asarray(res.poses_inv_opt)[1, :n])
-            losses.append(np.asarray(res.losses))
+            if args.refiner == "ba":
+                poses, poses_inv, fwd, inv = ba_refine(
+                    state.params, state.batch_stats, jbatch["target_img"],
+                    jbatch["source_imgs"], jbatch["intrinsics"])
+                init_poses.append(np.asarray(poses[1])[:n])
+                opt_poses.append(np.asarray(fwd.pose)[:n])
+                init_inv.append(np.asarray(poses_inv[1])[:n])
+                opt_inv.append(np.asarray(inv.pose)[:n])
+                losses.append(np.asarray(fwd.cost).mean(axis=1))
+            else:
+                res = optimizer.optimize_window_jit(
+                    jbatch, state.params["depth"], state.params["pose"],
+                    state.batch_stats)
+                # source 1 is the NEXT frame (forward in time)
+                init_poses.append(np.asarray(res.poses_init)[1, :n])
+                opt_poses.append(np.asarray(res.poses_opt)[1, :n])
+                init_inv.append(np.asarray(res.poses_inv_init)[1, :n])
+                opt_inv.append(np.asarray(res.poses_inv_opt)[1, :n])
+                losses.append(np.asarray(res.losses))
 
         def fuse(fwd_list, inv_list):
             fwd = np.concatenate(fwd_list)
