@@ -24,4 +24,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite is compile-dominated (~10 min cold);
+# warm reruns drop to a fraction
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", ".jax_test_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

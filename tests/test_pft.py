@@ -100,6 +100,10 @@ class TestPFTLoop:
                                       dvars["batch_stats"])
         assert np.all(np.isfinite(np.asarray(res.losses)))
 
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("TCSFM_SLOW_TESTS"),
+        reason="~100s of scan compiles; set TCSFM_SLOW_TESTS=1 to run "
+               "(DP equivalence is also covered by test_train)")
     def test_window_sharded_matches_single_device(self, setup):
         """PFT windows are independent → sharding the window batch over the
         mesh's data axis (the sequence-parallel axis, SURVEY.md §5.7) must
