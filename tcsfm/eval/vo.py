@@ -62,7 +62,17 @@ class VOEvaluator:
                 [depth_all[f * b:(f + 1) * b] for f in range(S + 1)])
 
             if iterations == 1:
-                poses, poses_inv = solve_pose(pose_apply, target_img, source_imgs)
+                flows = None
+                if cfg.flow_type == "classical":
+                    # on-device Farneback pair per source (reference computes
+                    # this host-side in the loader, kitti_loader_stereo.py:106)
+                    from tcsfm.ops.flow import batched_flow_pair
+                    tgt_b = jnp.broadcast_to(target_img[None],
+                                             source_imgs.shape)
+                    fwd, back = jax.vmap(batched_flow_pair)(tgt_b, source_imgs)
+                    flows = (fwd, back)
+                poses, poses_inv = solve_pose(pose_apply, target_img,
+                                              source_imgs, flows)
             else:
                 poses, poses_inv = solve_pose_iteratively(
                     iterations, depths, pose_apply, target_img, source_imgs, K,

@@ -67,8 +67,16 @@ def solve_disp(depth_apply: Callable, target_img: jax.Array,
 
 
 def solve_pose(pose_apply: Callable, target_img: jax.Array,
-               source_imgs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+               source_imgs: jax.Array,
+               flows: Optional[Tuple[jax.Array, jax.Array]] = None,
+               ) -> Tuple[jax.Array, jax.Array]:
     """One-shot (non-iterative) pose for each source (train_mono.py:18-39).
+
+    Args:
+      flows: optional (flow_fwd, flow_back), each [S, B, H, W, 2] — the
+        classical-optical-flow extra channels of ``flow_type='classical'``
+        (reference train_mono.py:22-29; computed on-device by
+        `tcsfm.ops.flow.batched_flow_pair` instead of host cv2).
 
     Returns (poses [S, B, 6], poses_inv [S, B, 6]).
     """
@@ -76,6 +84,10 @@ def solve_pose(pose_apply: Callable, target_img: jax.Array,
     tgt = jnp.broadcast_to(target_img[None], source_imgs.shape)
     fwd = jnp.concatenate([tgt, source_imgs], axis=-1)       # [S, B, H, W, 6]
     inv = jnp.concatenate([source_imgs, tgt], axis=-1)
+    if flows is not None:
+        flow_fwd, flow_back = flows
+        fwd = jnp.concatenate([fwd, flow_fwd], axis=-1)      # [S, B, H, W, 8]
+        inv = jnp.concatenate([inv, flow_back], axis=-1)
     stacked = jnp.concatenate([fwd, inv], axis=0).reshape(
         (2 * S * b,) + fwd.shape[2:]
     )

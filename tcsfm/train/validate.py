@@ -30,6 +30,18 @@ def _applies(cfg, depth_model, pose_model, params, batch_stats):
             lambda im: pose_model.apply(pvars, im))
 
 
+def _maybe_flows(cfg: Config, tgt: jnp.ndarray, src: jnp.ndarray):
+    """Classical-flow pose-net channels for the iterations==1 path
+    (reference validate.py:34 passes loader-computed cv2 flow; here the
+    Farneback pair is computed on-device)."""
+    if cfg.flow_type != "classical":
+        return None
+    from tcsfm.ops.flow import batched_flow_pair
+    tgt_b = jnp.broadcast_to(tgt[None], src.shape)
+    fwd, back = jax.vmap(batched_flow_pair)(tgt_b, src)
+    return (fwd, back)
+
+
 def depth_and_reconstruction_panels(cfg: Config, depth_model, pose_model,
                                     params, batch_stats, dataset,
                                     n_samples: int = 5,
@@ -54,7 +66,8 @@ def depth_and_reconstruction_panels(cfg: Config, depth_model, pose_model,
             for f in range(len(disparities))
         ])
         if cfg.iterations == 1:
-            poses, poses_inv = solve_pose(pose_apply, tgt, src)
+            poses, poses_inv = solve_pose(pose_apply, tgt, src,
+                                          _maybe_flows(cfg, tgt, src))
         else:
             poses, poses_inv = solve_pose_iteratively(
                 cfg.iterations, depths, pose_apply, tgt, src, K)
@@ -114,7 +127,8 @@ def trajectory_eval(cfg: Config, depth_model, pose_model, params, batch_stats,
             for f in range(len(disparities))
         ])
         if cfg.iterations == 1:
-            poses, poses_inv = solve_pose(pose_apply, tgt, src)
+            poses, poses_inv = solve_pose(pose_apply, tgt, src,
+                                          _maybe_flows(cfg, tgt, src))
         else:
             poses, poses_inv = solve_pose_iteratively(
                 cfg.iterations, depths, pose_apply, tgt, src, K,
