@@ -28,6 +28,13 @@ def main(argv=None):
     p.add_argument("--no_mxu_warp", dest="use_mxu_warp", action="store_false")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out", type=str, default="")
+    p.add_argument("--save_preds", type=str, default="",
+                   help="directory to save per-seq pose predictions (npz) "
+                        "for later replay")
+    p.add_argument("--load_preds", type=str, default="",
+                   help="directory of saved predictions: replay metrics "
+                        "without rerunning the networks (the reference's "
+                        "load_from_mat path, evaluate_vo_model.py:25)")
     args = p.parse_args(argv)
 
     import jax
@@ -35,7 +42,8 @@ def main(argv=None):
     from tcsfm.config import Config
     from tcsfm.data.dataset import SequenceData
     from tcsfm.data.synthetic import make_synthetic_sequence
-    from tcsfm.eval.vo import VOEvaluator
+    from tcsfm.eval.vo import (VOEvaluator, evaluate_saved_predictions,
+                               save_predictions)
     from tcsfm.train.checkpoint import load_checkpoint
     from tcsfm.train.trainer import create_train_state
 
@@ -66,7 +74,17 @@ def main(argv=None):
             npz = os.path.join(d, "sequence_data.npz")
             seq = (SequenceData.from_npz(npz) if os.path.exists(npz)
                    else SequenceData.from_reference_pkl(d, seq_name))
-        res = ev.run_sequence(seq, batch_size=args.batch)
+        if args.load_preds:
+            res = evaluate_saved_predictions(
+                os.path.join(args.load_preds, f"{seq_name}_preds.npz"),
+                seq, dnet=not args.no_dnet)
+        else:
+            res = ev.run_sequence(seq, batch_size=args.batch)
+            if args.save_preds:
+                os.makedirs(args.save_preds, exist_ok=True)
+                save_predictions(
+                    os.path.join(args.save_preds, f"{seq_name}_preds.npz"),
+                    res)
         all_results[seq_name] = {
             k: v for k, v in res.items()
             if k.startswith("errors") or k == "gt_scale"

@@ -123,40 +123,81 @@ class VOEvaluator:
 
         fwd[:, 0:3] *= METRIC_SCALE
         inv[:, 0:3] *= METRIC_SCALE
-        unscaled = (fwd - inv) / 2.0                  # evaluate_vo_model.py:140
+        return metrics_from_pose_vecs(seq.name, seq.gt_poses, fwd, inv, gts,
+                                      scales, dnet=self.dnet,
+                                      verbose=verbose)
 
-        results = {"fwd_pose_vec": fwd, "inv_pose_vec": inv,
-                   "gt_pose_vec": gts, "dnet_scale_factor": scales}
-        logger = ResultsLogger()
-        gt_traj = seq.gt_poses
 
+def metrics_from_pose_vecs(seq_name: str, gt_traj, fwd: np.ndarray,
+                           inv: np.ndarray, gts: np.ndarray,
+                           scales: Optional[np.ndarray], dnet: bool = True,
+                           verbose: bool = True) -> Dict:
+    """Trajectory metrics from (already metric-scaled) fwd/inv pose vecs.
+
+    The shared tail of VO evaluation — fwd/inv fusion, DNet and GT
+    scaling variants (evaluate_vo_model.py:140-184) — factored out so
+    saved predictions can be re-evaluated without rerunning the networks.
+    """
+    unscaled = (fwd - inv) / 2.0                  # evaluate_vo_model.py:140
+
+    results = {"fwd_pose_vec": fwd, "inv_pose_vec": inv,
+               "gt_pose_vec": gts, "dnet_scale_factor": scales}
+    logger = ResultsLogger()
+
+    _, _, errors, _ = compute_trajectory(
+        unscaled, gt_traj, method="unscaled", compute_seg_err=True,
+        verbose=verbose)
+    logger.log(seq_name, "unscaled", *errors)
+    results["errors_unscaled"] = errors
+
+    if dnet and scales is not None:
+        scaled_dnet = unscaled.copy()
+        scaled_dnet[:, 0:3] *= scales
         _, _, errors, _ = compute_trajectory(
-            unscaled, gt_traj, method="unscaled", compute_seg_err=True,
-            verbose=verbose)
-        logger.log(seq.name, "unscaled", *errors)
-        results["errors_unscaled"] = errors
+            scaled_dnet, gt_traj, method="scaled (dnet)",
+            compute_seg_err=True, verbose=verbose)
+        logger.log(seq_name, "dnet scaled", *errors)
+        results["errors_dnet"] = errors
 
-        if self.dnet:
-            scaled_dnet = unscaled.copy()
-            scaled_dnet[:, 0:3] *= scales
-            _, _, errors, _ = compute_trajectory(
-                scaled_dnet, gt_traj, method="scaled (dnet)",
-                compute_seg_err=True, verbose=verbose)
-            logger.log(seq.name, "dnet scaled", *errors)
-            results["errors_dnet"] = errors
+    # GT mean-norm scaling (evaluate_vo_model.py:142-145)
+    gt_scale = (
+        np.mean(np.linalg.norm(gts[:, 0:3], axis=1))
+        / max(np.mean(np.linalg.norm(unscaled[:, 0:3], axis=1)), 1e-12)
+    )
+    scaled_gt = unscaled.copy()
+    scaled_gt[:, 0:3] *= gt_scale
+    _, _, errors, _ = compute_trajectory(
+        scaled_gt, gt_traj, method="scaled (gt)", compute_seg_err=True,
+        verbose=verbose)
+    logger.log(seq_name, "gt scaled", *errors)
+    results["errors_gt_scaled"] = errors
+    results["gt_scale"] = gt_scale
+    results["logger"] = logger.results
+    return results
 
-        # GT mean-norm scaling (evaluate_vo_model.py:142-145)
-        gt_scale = (
-            np.mean(np.linalg.norm(gts[:, 0:3], axis=1))
-            / max(np.mean(np.linalg.norm(unscaled[:, 0:3], axis=1)), 1e-12)
-        )
-        scaled_gt = unscaled.copy()
-        scaled_gt[:, 0:3] *= gt_scale
-        _, _, errors, _ = compute_trajectory(
-            scaled_gt, gt_traj, method="scaled (gt)", compute_seg_err=True,
-            verbose=verbose)
-        logger.log(seq.name, "gt scaled", *errors)
-        results["errors_gt_scaled"] = errors
-        results["gt_scale"] = gt_scale
-        results["logger"] = logger.results
-        return results
+
+def save_predictions(path: str, results: Dict) -> None:
+    """Persist a run_sequence result for later replay
+    (the reference's .mat save at run_sequential_optimization.py:257-267,
+    as npz)."""
+    np.savez(
+        path,
+        fwd_pose_vec=results["fwd_pose_vec"],
+        inv_pose_vec=results["inv_pose_vec"],
+        gt_pose_vec=results["gt_pose_vec"],
+        dnet_scale_factor=np.asarray(results["dnet_scale_factor"]),
+    )
+
+
+def evaluate_saved_predictions(path: str, seq: SequenceData,
+                               dnet: bool = True,
+                               verbose: bool = True) -> Dict:
+    """Replay VO metrics from saved predictions without rerunning the
+    networks (the reference's load_from_mat path,
+    evaluate_vo_model.py:25,137)."""
+    d = np.load(path)
+    scales = (d["dnet_scale_factor"].reshape(-1, 1)
+              if "dnet_scale_factor" in d.files else None)
+    return metrics_from_pose_vecs(
+        seq.name, seq.gt_poses, d["fwd_pose_vec"], d["inv_pose_vec"],
+        d["gt_pose_vec"], scales, dnet=dnet, verbose=verbose)

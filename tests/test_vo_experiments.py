@@ -45,6 +45,24 @@ class TestVOEvaluator:
                 key, res[key])
         assert np.isfinite(res["gt_scale"]) and res["gt_scale"] > 0
 
+    def test_saved_predictions_replay(self, setup, tmp_path):
+        """Save-then-replay reproduces the metrics exactly without the
+        networks (reference load_from_mat path, evaluate_vo_model.py:25)."""
+        from tcsfm.eval.vo import evaluate_saved_predictions, save_predictions
+
+        cfg, state, dm, pm, seq = setup
+        ev = VOEvaluator(cfg, dm, pm, state.params, state.batch_stats,
+                         dnet_rescaling=True, cam_height=1.5)
+        res = ev.run_sequence(seq, batch_size=4, verbose=False)
+        path = str(tmp_path / "preds.npz")
+        save_predictions(path, res)
+        replayed = evaluate_saved_predictions(path, seq, verbose=False)
+        for key in ("errors_unscaled", "errors_dnet", "errors_gt_scaled"):
+            np.testing.assert_allclose(replayed[key][:2], res[key][:2],
+                                       rtol=1e-12)
+        np.testing.assert_allclose(replayed["gt_scale"], res["gt_scale"],
+                                   rtol=1e-12)
+
 
 class TestLossSurface:
     def test_minimum_at_gt_pose(self, setup):
