@@ -26,6 +26,8 @@ def main(argv=None):
                    help="force the Pallas MXU warp (default: auto — on for "
                         "TPU backends, off for CPU)")
     p.add_argument("--no_mxu_warp", dest="use_mxu_warp", action="store_false")
+    p.add_argument("--fast_sampler", action="store_true",
+                   help="single-pass bf16 MXU sampler variant")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out", type=str, default="")
     p.add_argument("--save_preds", type=str, default="",
@@ -55,6 +57,8 @@ def main(argv=None):
         cfg = cfg.replace(iterations=args.iterations)
     if args.use_mxu_warp is None:
         args.use_mxu_warp = jax.default_backend() not in ("cpu",)
+    if args.fast_sampler:
+        cfg = cfg.replace(mxu_exact=False)
 
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=1)

@@ -91,7 +91,7 @@ def main(argv=None):
             ])
             poses, poses_inv = solve_pose_iteratively(
                 cfg.iterations, depths, pose_apply, target_img, source_imgs,
-                K, use_mxu_warp=cfg.use_mxu_warp)
+                K, use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact)
             # direct BA on the forward/inverse pairs of source 1 (next frame)
             fwd = photometric_ba(
                 poses[1], depths[0], target_img, source_imgs[1], depths[2],

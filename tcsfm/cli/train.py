@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--no_mxu_warp", action="store_true",
                    help="disable the Pallas MXU warp (auto-on for TPU)")
+    p.add_argument("--fast_sampler", action="store_true",
+                   help="single-pass bf16 MXU sampler (half the sampler "
+                        "matmul cost, ~2e-3 abs image noise)")
     p.add_argument("--n_devices", type=int, default=0,
                    help="devices for the data mesh (0 = all)")
     p.add_argument("--synthetic", action="store_true",
@@ -139,6 +142,8 @@ def main(argv=None):
 
     if not args.no_mxu_warp and jax.default_backend() not in ("cpu",):
         cfg = cfg.replace(use_mxu_warp=True)
+    if args.fast_sampler:
+        cfg = cfg.replace(mxu_exact=False)
 
     from tcsfm.data.loader import BatchLoader
     from tcsfm.dist.mesh import make_mesh

@@ -83,6 +83,10 @@ class Config:
     # Off by default so CPU tests use the portable XLA path; the training /
     # eval CLIs enable it on TPU backends.
     use_mxu_warp: bool = False
+    # False selects the single-pass bf16 sampler variant (half the MXU
+    # matmul cost, ~2e-3 abs image noise). Exact (hi/lo split, f32-true)
+    # stays the default; flip for inference-heavy workloads after A/B.
+    mxu_exact: bool = True
 
     # --- distribution -----------------------------------------------------
     mesh_shape: Tuple[int, ...] = (1,)        # devices along the data axis

@@ -19,6 +19,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -106,6 +107,7 @@ def solve_pose_iteratively(
     trans_pert: Optional[jax.Array] = None,
     yaw_pert: Optional[jax.Array] = None,
     use_mxu_warp: bool = False,
+    mxu_exact: bool = True,
 ):
     """Iterative coupled pose estimation (train_mono.py:41-120).
 
@@ -128,8 +130,9 @@ def solve_pose_iteratively(
                    injected into the *initial* pose estimate — the
                    fault-injection capability of
                    pose_perturbation_experiment.py:146-151.
-      use_mxu_warp: route warps through the Pallas MXU sampler (10-20x
-                   faster; forward/inference only — no sampler VJP yet).
+      use_mxu_warp: route warps through the Pallas MXU sampler.
+      mxu_exact:   False selects the single-pass bf16 sampler (half the
+                   matmul cost, ~2e-3 abs image noise) — inference-grade.
 
     Returns:
       (poses [S, B, 6], poses_inv [S, B, 6]) and, when return_errors, a
@@ -154,7 +157,10 @@ def solve_pose_iteratively(
     target_depth_full = jnp.concatenate([tgt_depths_flat, src_depths_flat], 0)
     source_depth_full = jnp.concatenate([src_depths_flat, tgt_depths_flat], 0)
 
-    warp = inverse_warp2_mxu if use_mxu_warp else inverse_warp2
+    if use_mxu_warp:
+        warp = functools.partial(inverse_warp2_mxu, exact=mxu_exact)
+    else:
+        warp = inverse_warp2
 
     full_poses = pose_apply(imgs)                             # [2SB, 6]
 

@@ -266,6 +266,7 @@ class PFTOptimizer:
                     {"params": pp}, x),
                 target_img, source_imgs, K, return_errors=True,
                 use_mxu_warp=cfg.use_mxu_warp,
+                mxu_exact=cfg.mxu_exact,
             )
             loss = compute_optimization_loss(
                 opts, target_img, target_disp, init_target_disp,
