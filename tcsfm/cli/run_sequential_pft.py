@@ -118,6 +118,7 @@ def main(argv=None):
                              drop_last=False, pad_tail=True)
 
         init_poses, opt_poses, init_inv, opt_inv, losses = [], [], [], [], []
+        info_f, info_i = [], []
         for batch in loader:
             valid = batch.pop("_valid")
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -130,6 +131,8 @@ def main(argv=None):
                 opt_poses.append(np.asarray(fwd.pose)[:n])
                 init_inv.append(np.asarray(poses_inv[1])[:n])
                 opt_inv.append(np.asarray(inv.pose)[:n])
+                info_f.append(np.asarray(fwd.pose_info)[:n])
+                info_i.append(np.asarray(inv.pose_info)[:n])
                 losses.append(np.asarray(fwd.cost).mean(axis=1))
             else:
                 res = optimizer.optimize_window_jit(
@@ -150,7 +153,19 @@ def main(argv=None):
             return fused
 
         pose_init = fuse(init_poses, init_inv)
-        pose_opt = fuse(opt_poses, opt_inv)
+        if args.refiner == "ba":
+            # information-weighted fusion from the depth-marginalized
+            # Gauss-Newton Hessians (upgrade of the reference's (f-i)/2)
+            from tcsfm.solver.ba import fuse_pose_estimates
+
+            pose_opt = np.array(fuse_pose_estimates(
+                jnp.asarray(np.concatenate(opt_poses)),
+                jnp.asarray(np.concatenate(info_f)),
+                jnp.asarray(np.concatenate(opt_inv)),
+                jnp.asarray(np.concatenate(info_i))))
+            pose_opt[:, 0:3] *= 30.0
+        else:
+            pose_opt = fuse(opt_poses, opt_inv)
         gt_traj = seq.gt_poses[1:1 + len(pose_init) + 1]
 
         _, _, err_init, _ = compute_trajectory(

@@ -38,6 +38,9 @@ class BAResult(NamedTuple):
     pose: jax.Array          # [B, 6]
     depth: jax.Array         # [B, H, W, 1] refined target depth
     cost: jax.Array          # [iters+1, B]
+    pose_info: jax.Array     # [B, 6, 6] reduced pose information matrix
+    #   (Gauss-Newton Hessian after marginalizing depth) at the solution —
+    #   the per-window block of the sequence-level reduced camera system
 
 
 def _residual(pose, depth, target_img, source_img, src_depth, K):
@@ -77,9 +80,8 @@ def photometric_ba(
             (depth - depth0) ** 2, axis=(1, 2, 3))
         return jnp.sum(r * r, axis=(1, 2, 3)) + prior
 
-    def step(carry, _):
-        pose, depth, lam, cost = carry
-
+    def blocks_of(pose, depth):
+        """Gauss-Newton blocks of the joint (pose, depth) system."""
         r0 = r_of(pose, depth)                         # [B, H, W, 3]
 
         # pose Jacobian: 6 jvps against the se(3) basis
@@ -102,6 +104,11 @@ def photometric_ba(
         H_dd = jnp.sum(Jd * Jd, axis=-1) + depth_prior_weight  # [B, H, W]
         g_d = jnp.sum(Jd * r0, axis=-1) + depth_prior_weight * (
             (depth - depth0)[..., 0])                          # [B, H, W]
+        return H_pp, g_p, h, H_dd, g_d
+
+    def step(carry, _):
+        pose, depth, lam, cost = carry
+        H_pp, g_p, h, H_dd, g_d = blocks_of(pose, depth)
 
         # LM damping on both blocks
         H_dd = H_dd * (1.0 + lam)[:, None, None] + depth_damping
@@ -131,5 +138,85 @@ def photometric_ba(
     cost0 = cost_of(pose0, depth0)
     (pose, depth, _, _), costs = jax.lax.scan(
         step, (pose0, depth0, lam0, cost0), None, length=iters)
+
+    # reduced pose information at the solution (undamped Schur complement)
+    # — the per-window 6x6 block of the sequence reduced camera system
+    H_pp, _, h, H_dd, _ = blocks_of(pose, depth)
+    info = H_pp - jnp.einsum("bhwk,bhw,bhwl->bkl", h, 1.0 / H_dd, h)
+
     return BAResult(pose=pose, depth=depth,
-                    cost=jnp.concatenate([cost0[None], costs], axis=0))
+                    cost=jnp.concatenate([cost0[None], costs], axis=0),
+                    pose_info=info)
+
+
+# --------------------------------------------------------------------------
+# sequence-level BA: information-weighted fwd/inv fusion over a pose chain
+# --------------------------------------------------------------------------
+
+
+def fuse_pose_estimates(xi_fwd: jax.Array, info_fwd: jax.Array,
+                        xi_inv: jax.Array, info_inv: jax.Array,
+                        damping: float = 1e-8) -> jax.Array:
+    """Information-weighted fusion of the two estimates of one relative pose.
+
+    Each frame pair (t, t+1) is measured twice — by the forward window
+    (target t, source t+1) and by the inverse window (target t+1,
+    source t, giving ~the negated twist for small motions). The fused
+    estimate solves
+
+        min_xi ||xi - xi_fwd||^2_{I_f} + ||xi + xi_inv||^2_{I_i}
+        =>  (I_f + I_i) xi = I_f xi_fwd - I_i xi_inv
+
+    with I_* the reduced (depth-marginalized) Gauss-Newton information
+    from `photometric_ba`. This is the BA-grade generalization of the
+    reference's unweighted fusion ``(fwd - inv) / 2``
+    (evaluate_vo_model.py:140) — and reduces to exactly that when the two
+    information matrices are equal.
+
+    Args: all [B, 6] / [B, 6, 6]. Returns fused [B, 6].
+    """
+    A = info_fwd + info_inv + damping * jnp.eye(6)
+    rhs = (jnp.einsum("bkl,bl->bk", info_fwd, xi_fwd)
+           - jnp.einsum("bkl,bl->bk", info_inv, xi_inv))
+    return jnp.linalg.solve(A, rhs[..., None])[..., 0]
+
+
+class SequenceBAResult(NamedTuple):
+    fused_pose: jax.Array    # [N-1, 6] information-fused t -> t+1 twists
+    fwd: BAResult            # per-pair forward refinement
+    inv: BAResult            # per-pair inverse refinement
+
+
+def sequence_ba(frames: jax.Array, depths: jax.Array, K: jax.Array,
+                pose0_fwd: jax.Array, pose0_inv: jax.Array,
+                iters: int = 8, **ba_kwargs) -> SequenceBAResult:
+    """Refine a whole pose chain: batched fwd+inv per-pair BA, then
+    information-weighted fusion of each pair's two estimates.
+
+    The TPU-native distributed-BA path (SURVEY.md §5.7): the window axis
+    is embarrassingly parallel, so sharding ``frames``/``depths``/poses
+    over the mesh's ``data`` axis (e.g. ``dist.mesh.batch_sharding``)
+    makes XLA partition the whole solve SPMD — the per-pair 6x6 reduced
+    systems are the assembled "reduced camera system", and the fusion
+    solve is its (block-diagonal) solution. Validated on a virtual
+    8-device mesh in tests/test_ba.py.
+
+    Args:
+      frames:    [N, H, W, 3] consecutive frames of one sequence block.
+      depths:    [N, H, W, 1] per-frame (network) depth.
+      K:         [3, 3] shared intrinsics (or [N-1, 3, 3] per pair).
+      pose0_fwd: [N-1, 6] initial t -> t+1 twists (coupled-solver output).
+      pose0_inv: [N-1, 6] initial t+1 -> t twists.
+    """
+    tgt_f, src_f = frames[:-1], frames[1:]
+    d_tgt, d_src = depths[:-1], depths[1:]
+    n = tgt_f.shape[0]
+    K_b = jnp.broadcast_to(K, (n, 3, 3)) if K.ndim == 2 else K
+
+    fwd = photometric_ba(pose0_fwd, d_tgt, tgt_f, src_f, d_src, K_b,
+                         iters=iters, **ba_kwargs)
+    inv = photometric_ba(pose0_inv, d_src, src_f, tgt_f, d_tgt, K_b,
+                         iters=iters, **ba_kwargs)
+    fused = fuse_pose_estimates(fwd.pose, fwd.pose_info,
+                                inv.pose, inv.pose_info)
+    return SequenceBAResult(fused_pose=fused, fwd=fwd, inv=inv)
