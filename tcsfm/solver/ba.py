@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tcsfm.geom.warp import inverse_warp2
 
@@ -189,7 +190,8 @@ class SequenceBAResult(NamedTuple):
 
 def sequence_ba(frames: jax.Array, depths: jax.Array, K: jax.Array,
                 pose0_fwd: jax.Array, pose0_inv: jax.Array,
-                iters: int = 8, **ba_kwargs) -> SequenceBAResult:
+                iters: int = 8, residual_variance_weighting: bool = True,
+                **ba_kwargs) -> SequenceBAResult:
     """Refine a whole pose chain: batched fwd+inv per-pair BA, then
     information-weighted fusion of each pair's two estimates.
 
@@ -207,6 +209,11 @@ def sequence_ba(frames: jax.Array, depths: jax.Array, K: jax.Array,
       K:         [3, 3] shared intrinsics (or [N-1, 3, 3] per pair).
       pose0_fwd: [N-1, 6] initial t -> t+1 twists (coupled-solver output).
       pose0_inv: [N-1, 6] initial t+1 -> t twists.
+      residual_variance_weighting: scale each window's information by
+        1 / sigma^2 with sigma^2 = final cost / Npix (the GN information
+        assumes unit-variance residuals; estimating the actual noise
+        level per window automatically distrusts a direction that
+        converged to a poor photometric minimum — a wrong-basin gate).
     """
     tgt_f, src_f = frames[:-1], frames[1:]
     d_tgt, d_src = depths[:-1], depths[1:]
@@ -217,6 +224,12 @@ def sequence_ba(frames: jax.Array, depths: jax.Array, K: jax.Array,
                          iters=iters, **ba_kwargs)
     inv = photometric_ba(pose0_inv, d_src, src_f, tgt_f, d_tgt, K_b,
                          iters=iters, **ba_kwargs)
-    fused = fuse_pose_estimates(fwd.pose, fwd.pose_info,
-                                inv.pose, inv.pose_info)
+    info_f, info_i = fwd.pose_info, inv.pose_info
+    if residual_variance_weighting:
+        npix = float(np.prod(tgt_f.shape[1:]))
+        info_f = info_f / jnp.maximum(fwd.cost[-1] / npix,
+                                      1e-12)[:, None, None]
+        info_i = info_i / jnp.maximum(inv.cost[-1] / npix,
+                                      1e-12)[:, None, None]
+    fused = fuse_pose_estimates(fwd.pose, info_f, inv.pose, info_i)
     return SequenceBAResult(fused_pose=fused, fwd=fwd, inv=inv)
