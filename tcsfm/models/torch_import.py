@@ -72,7 +72,10 @@ def convert_depth_state_dict(sd: Mapping[str, "np.ndarray"]) -> Tuple[dict, dict
     """
     params: dict = {}
     stats: dict = {}
-    enc = ("encoder", "encoder")
+    # reference keys are encoder.encoder.* (ResnetEncoder wraps resnet18,
+    # depth_models.py:95-131); the flax DepthNet mounts the resnet DIRECTLY
+    # as `encoder`, so the pytree path has a single level
+    enc = ("encoder",)
 
     _set(params, enc + ("conv1", "kernel"), _conv_w(sd["encoder.encoder.conv1.weight"]))
     _convert_bn(params, stats, enc + ("bn1",), sd, "encoder.encoder.bn1")
@@ -108,6 +111,38 @@ def convert_depth_state_dict(sd: Mapping[str, "np.ndarray"]) -> Tuple[dict, dict
         refl_conv(f"feature_conv{i}", f"feature_convs.{i}.0")
         refl_conv(f"disp_head{i}", f"predict_disps.{i}.0")
     return params, stats
+
+
+def convert_torchvision_resnet18(sd: Mapping[str, "np.ndarray"]
+                                 ) -> Tuple[dict, dict]:
+    """Raw torchvision resnet18 state dict (e.g. ImageNet pretrained) →
+    (params, batch_stats) subtrees covering the DepthNet encoder only.
+
+    The reference warm-starts its depth encoder from torchvision's
+    ImageNet weights (depth_models.py:110-119, README.md:54); this is the
+    one-shot ingestion path for users with those weights on disk:
+
+        sd = {k: v.numpy() for k, v in torch.load('resnet18.pth').items()}
+        enc_params, enc_stats = convert_torchvision_resnet18(sd)
+        params['depth'] = warm_start_encoder(params['depth'], enc_params)
+        batch_stats = warm_start_encoder(batch_stats, enc_stats)
+    """
+    renamed = {f"encoder.encoder.{k}": v for k, v in sd.items()
+               if not k.startswith("fc.")}
+    return convert_depth_state_dict(renamed)
+
+
+def warm_start_encoder(tree: dict, encoder_subtree: dict) -> dict:
+    """Merge a converted encoder subtree into a DepthNet params or
+    batch_stats pytree (decoder / heads keep their existing values)."""
+    import copy
+
+    out = copy.deepcopy(dict(tree))
+    src = encoder_subtree.get("encoder", {})
+    dst = out.setdefault("encoder", {})
+    for k, v in src.items():
+        dst[k] = v
+    return out
 
 
 def convert_reference_checkpoint(ckpt: Mapping) -> Dict[str, dict]:

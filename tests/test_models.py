@@ -97,3 +97,74 @@ class TestPoseNet:
         model = PoseNet()
         got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
         np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+class TestImageNetWarmStart:
+    """torchvision resnet18 ingestion (depth_models.py:110-119 warm start)."""
+
+    def _fake_torchvision_sd(self, seed=7):
+        """State dict with torchvision resnet18 key names and shapes."""
+        rng = np.random.RandomState(seed)
+        sd = {}
+
+        def bn(prefix, c):
+            sd[f"{prefix}.weight"] = rng.rand(c).astype(np.float32) + 0.5
+            sd[f"{prefix}.bias"] = rng.rand(c).astype(np.float32)
+            sd[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32)
+            sd[f"{prefix}.running_var"] = rng.rand(c).astype(np.float32) + 0.5
+
+        sd["conv1.weight"] = rng.randn(64, 3, 7, 7).astype(np.float32)
+        bn("bn1", 64)
+        widths = [64, 64, 128, 256, 512]
+        for layer in range(1, 5):
+            cin, cout = widths[layer - 1], widths[layer]
+            for block in range(2):
+                p = f"layer{layer}.{block}"
+                c0 = cin if block == 0 else cout
+                sd[f"{p}.conv1.weight"] = rng.randn(
+                    cout, c0, 3, 3).astype(np.float32) * 0.05
+                bn(f"{p}.bn1", cout)
+                sd[f"{p}.conv2.weight"] = rng.randn(
+                    cout, cout, 3, 3).astype(np.float32) * 0.05
+                bn(f"{p}.bn2", cout)
+                if block == 0 and cin != cout:
+                    sd[f"{p}.downsample.0.weight"] = rng.randn(
+                        cout, cin, 1, 1).astype(np.float32) * 0.05
+                    bn(f"{p}.downsample.1", cout)
+        sd["fc.weight"] = rng.randn(1000, 512).astype(np.float32)
+        sd["fc.bias"] = rng.randn(1000).astype(np.float32)
+        return sd
+
+    def test_warm_start_shapes_and_effect(self):
+        from tcsfm.models.torch_import import (convert_torchvision_resnet18,
+                                               warm_start_encoder)
+
+        enc_params, enc_stats = convert_torchvision_resnet18(
+            self._fake_torchvision_sd())
+
+        model = DepthNet()
+        x = jnp.asarray(_rand((B, H, W, 3), seed=1))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        params0 = variables["params"]
+        stats0 = variables["batch_stats"]
+
+        params1 = warm_start_encoder(params0, enc_params)
+        stats1 = warm_start_encoder(stats0, enc_stats)
+
+        # pytree structure and shapes unchanged (merge, not replace)
+        s0 = jax.tree_util.tree_map(lambda a: a.shape, params0)
+        s1 = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, params1)
+        assert s0 == s1
+        # encoder weights actually changed, decoder untouched
+        assert not np.allclose(
+            params1["encoder"]["conv1"]["kernel"],
+            params0["encoder"]["conv1"]["kernel"])
+        np.testing.assert_array_equal(
+            np.asarray(params1["upconv0"]["Conv_0"]["kernel"]),
+            np.asarray(params0["upconv0"]["Conv_0"]["kernel"]))
+
+        # forward still runs and produces different (warm-started) output
+        d0 = model.apply({"params": params0, "batch_stats": stats0}, x)[0]
+        d1 = model.apply({"params": params1, "batch_stats": stats1}, x)[0]
+        assert np.isfinite(np.asarray(d1)).all()
+        assert not np.allclose(np.asarray(d0), np.asarray(d1))
