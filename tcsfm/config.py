@@ -87,6 +87,9 @@ class Config:
     # matmul cost, ~2e-3 abs image noise). Exact (hi/lo split, f32-true)
     # stays the default; flip for inference-heavy workloads after A/B.
     mxu_exact: bool = True
+    # Per-call vertical-band coverage check with auto-fallback to the XLA
+    # sampler (lax.cond) — keeps extreme warps from silently sampling zeros.
+    mxu_band_guard: bool = True
 
     # --- distribution -----------------------------------------------------
     mesh_shape: Tuple[int, ...] = (1,)        # devices along the data axis

@@ -104,7 +104,8 @@ def _project_with_mask(cam_coords, K, pose_mat, h, w, zeros_padding=True):
 
 def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
                       pose: jax.Array, K: jax.Array, band: int = 32,
-                      exact: bool = True):
+                      exact: bool = True, guard: bool = True,
+                      interpret: bool = False):
     """inverse_warp2 on the MXU sampling kernel (differentiable).
 
     Fuses the image and source-depth resampling into ONE 4-channel kernel
@@ -112,8 +113,16 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     faster than the XLA gather path on TPU; gradients w.r.t. the sampled
     image/depth and the coordinates flow through the custom-VJP Pallas
     backward kernels (tcsfm/ops/warp_mxu_grad.py).
+
+    The banded kernel is exact only while every 8-output-row group's
+    vertical source spread fits in ``band`` rows; with ``guard=True``
+    (default) the band coverage is checked per call (one cheap reduction)
+    and the whole batch falls back to the XLA gather path via ``lax.cond``
+    when any group would under-cover — so a large-rotation or close-range
+    warp can never silently sample zeros into training gradients.
     """
-    from tcsfm.ops.warp_mxu import grid_sample_mxu_diff
+    from tcsfm.ops.warp_mxu import (band_geometry, grid_sample_mxu_diff,
+                                    vertical_band_ok)
 
     b, h, w, _ = img.shape
     cam = backproject(depth, K)
@@ -121,7 +130,17 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     coords, computed_depth, valid = _project_with_mask(cam, K, pose_mat, h, w)
 
     packed = jnp.concatenate([img, ref_depth], axis=-1)     # [B, H, W, 4]
-    sampled = grid_sample_mxu_diff(packed, coords, band, False, exact)
+    if guard:
+        bv, _ = band_geometry(h, w, band)
+        ok = jnp.all(vertical_band_ok(coords, h, bv))
+        sampled = lax.cond(
+            ok,
+            lambda p, c: grid_sample_mxu_diff(p, c, band, interpret, exact),
+            grid_sample,
+            packed, coords,
+        )
+    else:
+        sampled = grid_sample_mxu_diff(packed, coords, band, interpret, exact)
     warped_img = sampled[..., :3]
     projected_depth = sampled[..., 3:4]
     valid_mask = valid[..., None].astype(img.dtype)

@@ -108,6 +108,7 @@ def solve_pose_iteratively(
     yaw_pert: Optional[jax.Array] = None,
     use_mxu_warp: bool = False,
     mxu_exact: bool = True,
+    mxu_band_guard: bool = True,
 ):
     """Iterative coupled pose estimation (train_mono.py:41-120).
 
@@ -133,6 +134,9 @@ def solve_pose_iteratively(
       use_mxu_warp: route warps through the Pallas MXU sampler.
       mxu_exact:   False selects the single-pass bf16 sampler (half the
                    matmul cost, ~2e-3 abs image noise) — inference-grade.
+      mxu_band_guard: check the banded kernel's vertical coverage per call
+                   and auto-fallback to the XLA sampler when violated (no
+                   silent-zeros path reachable from training).
 
     Returns:
       (poses [S, B, 6], poses_inv [S, B, 6]) and, when return_errors, a
@@ -158,7 +162,8 @@ def solve_pose_iteratively(
     source_depth_full = jnp.concatenate([src_depths_flat, tgt_depths_flat], 0)
 
     if use_mxu_warp:
-        warp = functools.partial(inverse_warp2_mxu, exact=mxu_exact)
+        warp = functools.partial(inverse_warp2_mxu, exact=mxu_exact,
+                                 guard=mxu_band_guard)
     else:
         warp = inverse_warp2
 

@@ -132,7 +132,8 @@ def trajectory_eval(cfg: Config, depth_model, pose_model, params, batch_stats,
         else:
             poses, poses_inv = solve_pose_iteratively(
                 cfg.iterations, depths, pose_apply, tgt, src, K,
-                use_mxu_warp=use_mxu_warp, mxu_exact=cfg.mxu_exact)
+                use_mxu_warp=use_mxu_warp, mxu_exact=cfg.mxu_exact,
+                mxu_band_guard=cfg.mxu_band_guard)
         return poses[0]
 
     loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False,

@@ -81,3 +81,80 @@ class TestMXUGridSample:
             np.float32)
         ok2 = vertical_band_ok(jnp.asarray(sheared), H, band=8)
         assert not bool(jnp.all(ok2))
+
+
+class TestBandGuard:
+    """The guarded MXU warp never silently samples zeros (VERDICT r1 §weak-1)."""
+
+    def _warp_inputs(self, rz):
+        """A warp whose in-group vertical spread is controlled by roll rz
+        (a roll maps output rows to diagonal source bands: y-spread across
+        one 8-row group ~ W*sin(rz), which overflows a narrow band)."""
+        from tcsfm.geom.warp import inverse_warp2
+
+        rng = np.random.RandomState(7)
+        b, h, w = 1, 32, 64
+        img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+        depth = jnp.asarray(1.0 + rng.rand(b, h, w, 1).astype(np.float32))
+        ref_depth = jnp.asarray(1.0 + rng.rand(b, h, w, 1).astype(np.float32))
+        pose = jnp.asarray([[0.0, 0.0, 0.0, 0.0, 0.0, rz]], jnp.float32)
+        K = jnp.asarray([[[60.0, 0, 32.0], [0, 60.0, 16.0], [0, 0, 1]]],
+                        jnp.float32)
+        return img, depth, ref_depth, pose, K
+
+    def test_guard_fires_on_band_violation(self):
+        """Large-rotation warp: guarded output == XLA path (not zeros)."""
+        from tcsfm.geom.warp import inverse_warp2, inverse_warp2_mxu
+        from tcsfm.ops.warp_mxu import band_geometry, vertical_band_ok
+        from tcsfm.geom.camera import backproject
+        from tcsfm.geom.se3 import pose_vec2mat
+        from tcsfm.geom.warp import _project_with_mask
+
+        args = self._warp_inputs(rz=0.6)    # strong roll → big in-group spread
+        img, depth, ref_depth, pose, K = args
+        h, w = img.shape[1:3]
+        cam = backproject(depth, K)
+        coords, _, _ = _project_with_mask(cam, K, pose_vec2mat(-pose), h, w)
+        bv, _ = band_geometry(h, w, 16)
+        assert not bool(jnp.all(vertical_band_ok(coords, h, bv))), \
+            "fixture must actually violate the band"
+
+        guarded = inverse_warp2_mxu(img, depth, ref_depth, -pose, K, band=16,
+                                    guard=True, interpret=True)
+        xla = inverse_warp2(img, depth, ref_depth, -pose, K)
+        for g, r in zip(guarded, xla):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+
+    def test_guard_pass_through_on_smooth_warp(self):
+        """Small warp: guard stays on the MXU path (parity with unguarded)."""
+        from tcsfm.geom.warp import inverse_warp2_mxu
+
+        args = self._warp_inputs(rz=0.005)
+        img, depth, ref_depth, pose, K = args
+        guarded = inverse_warp2_mxu(img, depth, ref_depth, -pose, K, band=32,
+                                    guard=True, interpret=True)
+        raw = inverse_warp2_mxu(img, depth, ref_depth, -pose, K, band=32,
+                                guard=False, interpret=True)
+        for g, r in zip(guarded, raw):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-6)
+
+    def test_guard_grads_flow(self):
+        """Gradients flow through the cond fallback branch."""
+        from tcsfm.geom.warp import inverse_warp2, inverse_warp2_mxu
+
+        img, depth, ref_depth, pose, K = self._warp_inputs(rz=0.6)
+
+        def loss_mxu(p):
+            wi, vm, pd, cd = inverse_warp2_mxu(img, depth, ref_depth, -p, K,
+                                               band=16, guard=True,
+                                               interpret=True)
+            return jnp.sum(wi * vm)
+
+        def loss_xla(p):
+            wi, vm, pd, cd = inverse_warp2(img, depth, ref_depth, -p, K)
+            return jnp.sum(wi * vm)
+
+        g_mxu = jax.grad(loss_mxu)(pose)
+        g_xla = jax.grad(loss_xla)(pose)
+        np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_xla),
+                                   rtol=1e-4, atol=1e-6)
