@@ -55,6 +55,12 @@ def main(argv=None):
 
         @jax.jit
         def infer(imgs):
+            """Flip-merge post-processed disparity (reference :95-106);
+            --no_post_process runs the plain single pass instead."""
+            if args.no_post_process:
+                disp = depth_model.apply(dvars, imgs)[0][..., 0]
+                scaled, _ = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
+                return scaled
             both = jnp.concatenate([imgs, imgs[:, :, ::-1]], 0)
             disp = depth_model.apply(dvars, both)[0][..., 0]
             scaled, _ = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)

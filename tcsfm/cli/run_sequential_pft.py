@@ -38,6 +38,13 @@ def main(argv=None):
     p.add_argument("--window_batch", type=int, default=4)
     p.add_argument("--extra_iterations", type=int, default=0,
                    help="extra egomotion iterations at test time")
+    p.add_argument("--scaling", type=str, default="unscaled",
+                   choices=["unscaled", "none"],
+                   help="'unscaled' applies the per-window DNet ground-plane "
+                        "scale factor ×30·scale on translations (reference "
+                        "run_sequential_optimization.py:225-228, "
+                        "optimizer.py:254-258); 'none' applies ×30 only "
+                        "(for GT-scaled or non-ground-plane data)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out_dir", type=str, default="")
     args = p.parse_args(argv)
@@ -74,6 +81,7 @@ def main(argv=None):
                              mode=args.mode)
 
     if args.refiner == "ba":
+        from tcsfm.eval.scale_recovery import scale_recovery
         from tcsfm.solver.ba import photometric_ba
         from tcsfm.solver.coupled import solve_disp, solve_pose_iteratively
         from tcsfm.utils.helpers import disp_to_depth
@@ -91,7 +99,8 @@ def main(argv=None):
             ])
             poses, poses_inv = solve_pose_iteratively(
                 cfg.iterations, depths, pose_apply, target_img, source_imgs,
-                K, use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact)
+                K, use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
+                mxu_band_guard=cfg.mxu_band_guard)
             # direct BA on the forward/inverse pairs of source 1 (next frame)
             fwd = photometric_ba(
                 poses[1], depths[0], target_img, source_imgs[1], depths[2],
@@ -99,7 +108,10 @@ def main(argv=None):
             inv = photometric_ba(
                 poses_inv[1], depths[2], source_imgs[1], target_img,
                 depths[0], K, iters=args.epochs // 2, depth_prior_weight=0.1)
-            return poses, poses_inv, fwd, inv
+            # DNet scale from the target depth (BA leaves depth near-initial,
+            # so one factor serves both the initial and refined poses)
+            scale = scale_recovery(depths[0], K, cfg.camera_height / 30.0)
+            return poses, poses_inv, fwd, inv, scale
 
     results = {}
     for seq_name in (["synthetic"] if args.synthetic else args.seqs):
@@ -119,12 +131,13 @@ def main(argv=None):
 
         init_poses, opt_poses, init_inv, opt_inv, losses = [], [], [], [], []
         info_f, info_i = [], []
+        scales_init, scales_opt = [], []
         for batch in loader:
             valid = batch.pop("_valid")
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
             n = int(valid.sum())
             if args.refiner == "ba":
-                poses, poses_inv, fwd, inv = ba_refine(
+                poses, poses_inv, fwd, inv, scale = ba_refine(
                     state.params, state.batch_stats, jbatch["target_img"],
                     jbatch["source_imgs"], jbatch["intrinsics"])
                 init_poses.append(np.asarray(poses[1])[:n])
@@ -134,6 +147,8 @@ def main(argv=None):
                 info_f.append(np.asarray(fwd.pose_info)[:n])
                 info_i.append(np.asarray(inv.pose_info)[:n])
                 losses.append(np.asarray(fwd.cost).mean(axis=1))
+                scales_init.append(np.full(n, float(scale)))
+                scales_opt.append(np.full(n, float(scale)))
             else:
                 res = optimizer.optimize_window_jit(
                     jbatch, state.params["depth"], state.params["pose"],
@@ -144,15 +159,25 @@ def main(argv=None):
                 init_inv.append(np.asarray(res.poses_inv_init)[1, :n])
                 opt_inv.append(np.asarray(res.poses_inv_opt)[1, :n])
                 losses.append(np.asarray(res.losses))
+                # one DNet factor per window batch (optimizer.py:254-258)
+                scales_init.append(np.full(n, float(res.scale_init)))
+                scales_opt.append(np.full(n, float(res.scale_opt)))
 
-        def fuse(fwd_list, inv_list):
+        if args.scaling == "unscaled":
+            sc_init = np.concatenate(scales_init)
+            sc_opt = np.concatenate(scales_opt)
+        else:
+            sc_init = sc_opt = np.ones(sum(len(s) for s in scales_init))
+
+        def fuse(fwd_list, inv_list, scales):
             fwd = np.concatenate(fwd_list)
             inv = np.concatenate(inv_list)
             fused = (fwd - inv) / 2.0
-            fused[:, 0:3] *= 30.0
+            # ×30·scale on translations (run_sequential_optimization.py:225-228)
+            fused[:, 0:3] *= (30.0 * scales)[:, None]
             return fused
 
-        pose_init = fuse(init_poses, init_inv)
+        pose_init = fuse(init_poses, init_inv, sc_init)
         if args.refiner == "ba":
             # information-weighted fusion from the depth-marginalized
             # Gauss-Newton Hessians (upgrade of the reference's (f-i)/2)
@@ -163,9 +188,9 @@ def main(argv=None):
                 jnp.asarray(np.concatenate(info_f)),
                 jnp.asarray(np.concatenate(opt_inv)),
                 jnp.asarray(np.concatenate(info_i))))
-            pose_opt[:, 0:3] *= 30.0
+            pose_opt[:, 0:3] *= (30.0 * sc_opt)[:, None]
         else:
-            pose_opt = fuse(opt_poses, opt_inv)
+            pose_opt = fuse(opt_poses, opt_inv, sc_opt)
         gt_traj = seq.gt_poses[1:1 + len(pose_init) + 1]
 
         _, _, err_init, _ = compute_trajectory(

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import optax
 
 from tcsfm.config import Config, PFTOptions
+from tcsfm.eval.scale_recovery import scale_recovery
 from tcsfm.losses.photometric import smooth_loss, ssim_loss
 from tcsfm.solver.coupled import solve_pose_iteratively
 from tcsfm.utils.helpers import disp_to_depth, post_process_disparity
@@ -163,6 +164,12 @@ class PFTResult(NamedTuple):
     poses_init: jax.Array
     poses_inv_init: jax.Array
     losses: jax.Array              # [epochs]
+    # DNet ground-plane scale factors — the reference computes one per
+    # window batch at the first and last optimization epoch
+    # (optimizer.py:254-258) and applies ×30·scale on translations
+    # (run_sequential_optimization.py:225-228).
+    scale_init: jax.Array = jnp.float32(1.0)     # scalar
+    scale_opt: jax.Array = jnp.float32(1.0)      # scalar
     # full optimization history (optimizer_for_cont_plot.py capability):
     # per-epoch poses/disparities for loss-surface animations
     poses_hist: Optional[jax.Array] = None       # [epochs, S, B, 6]
@@ -267,16 +274,17 @@ class PFTOptimizer:
                 target_img, source_imgs, K, return_errors=True,
                 use_mxu_warp=cfg.use_mxu_warp,
                 mxu_exact=cfg.mxu_exact,
+                mxu_band_guard=cfg.mxu_band_guard,
             )
             loss = compute_optimization_loss(
                 opts, target_img, target_disp, init_target_disp,
                 outputs["fwd"], outputs["inv"],
             )
-            return loss, (poses, poses_inv, dp)
+            return loss, (poses, poses_inv, dp, target_disp)
 
         def step(carry, _):
             params, opt_state = carry
-            (loss, (poses, poses_inv, dp)), grads = jax.value_and_grad(
+            (loss, (poses, poses_inv, dp, _disp)), grads = jax.value_and_grad(
                 forward, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -290,8 +298,20 @@ class PFTOptimizer:
             step, init_carry, None, length=opts.epochs - 1)
         losses_hist, poses_hist, poses_inv_hist, disp_hist = scans
 
-        final_loss, (final_poses, final_poses_inv, final_dp) = forward(final_params)
+        final_loss, (final_poses, final_poses_inv, final_dp, final_target_disp
+                     ) = forward(final_params)
         final_disp = self._flip_merged_disp(final_dp, batch_stats, target_img)
+
+        # DNet ground-plane scale factors at the first and last epoch
+        # (optimizer.py:254-258) — camera height lives at 1/30 metric scale
+        # like everything else in the network (config['camera_height']/30).
+        cam_h = cfg.camera_height / 30.0
+        init_depth = disp_to_depth(init_target_disp, cfg.min_depth,
+                                   cfg.max_depth)[1]
+        final_depth = disp_to_depth(final_target_disp, cfg.min_depth,
+                                    cfg.max_depth)[1]
+        scale_init = scale_recovery(init_depth, K, cam_h)
+        scale_opt = scale_recovery(final_depth, K, cam_h)
 
         losses_hist = jnp.concatenate([losses_hist, final_loss[None]])
         poses_hist = jnp.concatenate([poses_hist, final_poses[None]])
@@ -306,6 +326,8 @@ class PFTOptimizer:
             poses_init=poses_hist[0],
             poses_inv_init=poses_inv_hist[0],
             losses=losses_hist,
+            scale_init=scale_init,
+            scale_opt=scale_opt,
             poses_hist=poses_hist if self.record_history else None,
             disp_hist=disp_hist if self.record_history else None,
         )
