@@ -1,0 +1,272 @@
+"""Golden-value accuracy harness: reproduce the BASELINE.md table.
+
+One command closes the accuracy loop (VERDICT r1 item #1):
+
+  * **Real data** — given a model dir (e.g. produced by
+    ``cli.import_checkpoint`` from the reference's published checkpoint)
+    and preprocessed KITTI odometry sequences, runs the exact paper VO
+    protocol (pair windows, 4 test iterations, fwd/inv fusion, DNet
+    ground-plane scaling — evaluate_vo_model.py:140-155) and prints a
+    pass/fail comparison against the published anchors
+    (paper_plots_and_data/frame_skip_exp_results/seq-{09,10}_02-frame_skip_results.pkl).
+
+        python -m tcsfm.cli.golden_eval --model_dir results/kitti-4-iter \
+            --data_dir /data/kitti_odom --seqs 09_02 10_02
+
+  * **Synthetic gate** — when no KITTI data/checkpoint is mountable,
+    ``--synthetic`` runs the same full logic on generated sequences with
+    quantitative pass bars: training must beat the untrained model's
+    gt-scaled t-ATE by a fixed margin, and PFT must not regress the
+    trained trajectory while decreasing its own loss. This keeps the
+    harness executable in CI so the first real-data run is turnkey.
+
+        python -m tcsfm.cli.golden_eval --synthetic
+
+Exits non-zero when any gate fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+# Published anchors: DNet-scaled VO of the 4-iter model at 4 test
+# iterations, no PFT (BASELINE.md; extracted from the reference pickles
+# frame_skip_exp_results/seq-{09,10}_02-frame_skip_results.pkl, model 4/4,
+# skip 0 — list order per frame_skip_exp.py:29-35).
+BASELINES = {
+    "09_02": {"t_err": 3.936, "r_err": 0.740, "t_ate": 33.628, "r_ate": 3.010},
+    "10_02": {"t_err": 3.583, "r_err": 0.932, "t_ate": 19.759, "r_ate": 5.280},
+}
+# Tolerance bands: segment errors per VERDICT guidance (±0.3 on t_err);
+# ATEs are integrated quantities → 15% relative band.
+ABS_TOL = {"t_err": 0.3, "r_err": 0.15}
+REL_TOL = {"t_ate": 0.15, "r_ate": 0.15}
+
+
+def compare_to_baseline(seq_name: str, errors) -> dict:
+    """errors = (t_ate, r_ate, t_err, r_err) from compute_trajectory."""
+    t_ate, r_ate, t_err, r_err = [float(e) for e in errors]
+    ours = {"t_err": t_err, "r_err": r_err, "t_ate": t_ate, "r_ate": r_ate}
+    base = BASELINES.get(seq_name)
+    rows = []
+    ok_all = True
+    for k, v in ours.items():
+        if base is None:
+            rows.append({"metric": k, "ours": v, "baseline": None,
+                         "status": "no-anchor"})
+            continue
+        b = base[k]
+        tol = ABS_TOL.get(k, REL_TOL.get(k, 0.15) * b)
+        ok = bool(np.isfinite(v) and v <= b + tol)
+        ok_all &= ok
+        rows.append({"metric": k, "ours": v, "baseline": b,
+                     "tol": round(tol, 3),
+                     "status": "PASS" if ok else "FAIL"})
+    return {"rows": rows, "pass": ok_all}
+
+
+def print_table(seq_name: str, cmp: dict) -> None:
+    print(f"\n== {seq_name} ==")
+    print(f"{'metric':>8} | {'ours':>9} | {'baseline':>9} | {'tol':>6} | status")
+    for r in cmp["rows"]:
+        b = "-" if r.get("baseline") is None else f"{r['baseline']:9.3f}"
+        t = "-" if "tol" not in r else f"{r['tol']:6.3f}"
+        print(f"{r['metric']:>8} | {r['ours']:9.3f} | {b:>9} | {t:>6} | "
+              f"{r['status']}")
+
+
+def run_real(args) -> dict:
+    import jax
+
+    from tcsfm.config import Config
+    from tcsfm.data.dataset import SequenceData
+    from tcsfm.eval.vo import VOEvaluator
+    from tcsfm.train.checkpoint import load_checkpoint
+    from tcsfm.train.trainer import create_train_state
+
+    cfg = Config.load(os.path.join(args.model_dir, "config.json"))
+    if args.iterations:
+        cfg = cfg.replace(iterations=args.iterations)
+    use_mxu = jax.default_backend() not in ("cpu",)
+    state, depth_model, pose_model = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
+    state, _, _ = load_checkpoint(args.model_dir, state, load_best=True)
+    ev = VOEvaluator(cfg, depth_model, pose_model, state.params,
+                     state.batch_stats, dnet_rescaling=True,
+                     use_mxu_warp=use_mxu)
+
+    out = {"mode": "real", "seqs": {}, "pass": True}
+    for seq_name in args.seqs:
+        d = os.path.join(args.data_dir, seq_name)
+        npz = os.path.join(d, "sequence_data.npz")
+        seq = (SequenceData.from_npz(npz) if os.path.exists(npz)
+               else SequenceData.from_reference_pkl(d, seq_name))
+        res = ev.run_sequence(seq, batch_size=args.batch, verbose=False)
+        cmp = compare_to_baseline(seq_name, res["errors_dnet"])
+        print_table(seq_name, cmp)
+        out["seqs"][seq_name] = cmp
+        out["pass"] &= cmp["pass"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Synthetic quantitative gate
+# ---------------------------------------------------------------------------
+
+
+def _gt_scaled_ate(ev, seq) -> float:
+    res = ev.run_sequence(seq, batch_size=8, verbose=False)
+    return float(res["errors_gt_scaled"][0])
+
+
+def run_synthetic(args) -> dict:
+    import jax
+
+    from tcsfm.config import Config
+    from tcsfm.data.dataset import SfMWindowDataset
+    from tcsfm.data.loader import BatchLoader
+    from tcsfm.data.synthetic import make_synthetic_sequence
+    from tcsfm.data.transforms import WindowTransform
+    from tcsfm.eval.trajectory import compute_trajectory
+    from tcsfm.eval.vo import VOEvaluator
+    from tcsfm.solver.pft import PFTOptimizer
+    from tcsfm.config import PFTOptions
+    from tcsfm.train.trainer import Trainer, create_train_state
+
+    h, w = args.synthetic_size
+    cfg = Config(iterations=2, img_resolution="low", minibatch=4,
+                 lr=args.lr, compute_dtype="float32", num_scales=1)
+    state, depth_model, pose_model = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=32)
+
+    train_seqs = [make_synthetic_sequence(args.synthetic_frames, (h, w),
+                                          seed=s) for s in (0, 1)]
+    test_seq = make_synthetic_sequence(max(16, args.synthetic_frames), (h, w),
+                                       seed=11)
+
+    def evaluator(st):
+        return VOEvaluator(cfg, depth_model, pose_model, st.params,
+                           st.batch_stats, dnet_rescaling=False,
+                           use_mxu_warp=False)
+
+    ate_untrained = _gt_scaled_ate(evaluator(state), test_seq)
+
+    ds = SfMWindowDataset(train_seqs, seq_len=3,
+                          transform=WindowTransform(jitter=False,
+                                                    flip_prob=None))
+    trainer = Trainer(cfg, state, depth_model, pose_model)
+    losses = []
+    for ep in range(args.train_epochs):
+        loader = BatchLoader(ds, cfg.minibatch, shuffle=True, seed=ep)
+        stats = trainer.run_epoch(loader, ep, "train", verbose=False)
+        losses.append(stats["total"])
+        print(f"epoch {ep}: loss {stats['total']:.5f}")
+    state = trainer.state
+
+    ate_trained = _gt_scaled_ate(evaluator(state), test_seq)
+    gate_train = bool(ate_trained <= args.train_gate * ate_untrained)
+
+    # ---- PFT gate: loss decreases, trajectory does not regress ----------
+    opts = PFTOptions(epochs=args.pft_epochs, lr=2e-4, avg_final_epochs=3,
+                      num_source_imgs=2)
+    optimizer = PFTOptimizer(cfg, opts, depth_model, pose_model,
+                             mode="encoder")
+    wds = SfMWindowDataset([test_seq], seq_len=3,
+                           transform=WindowTransform(jitter=False,
+                                                     flip_prob=None))
+    loader = BatchLoader(wds, 4, shuffle=False, drop_last=False,
+                         pad_tail=True)
+    import jax.numpy as jnp
+
+    init_f, init_i, opt_f, opt_i, pft_losses = [], [], [], [], []
+    for batch in loader:
+        valid = batch.pop("_valid")
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        n = int(valid.sum())
+        res = optimizer.optimize_window_jit(
+            jb, state.params["depth"], state.params["pose"],
+            state.batch_stats)
+        init_f.append(np.asarray(res.poses_init)[1, :n])
+        opt_f.append(np.asarray(res.poses_opt)[1, :n])
+        init_i.append(np.asarray(res.poses_inv_init)[1, :n])
+        opt_i.append(np.asarray(res.poses_inv_opt)[1, :n])
+        pft_losses.append(np.asarray(res.losses))
+
+    def fused_ate(f_list, i_list):
+        fused = (np.concatenate(f_list) - np.concatenate(i_list)) / 2.0
+        gt_traj = test_seq.gt_poses[1:2 + len(fused)]
+        gts = fused  # gt-scale via mean norm of true increments
+        # mean-norm scale matching (evaluate_vo_model.py:142-145)
+        from tcsfm.eval.trajectory import np_se3_log
+        true_inc = np.stack([
+            np_se3_log(np.linalg.inv(test_seq.gt_poses[i + 1])
+                       @ test_seq.gt_poses[i + 2])
+            for i in range(len(fused))
+        ])
+        scale = (np.mean(np.linalg.norm(true_inc[:, 0:3], axis=1))
+                 / max(np.mean(np.linalg.norm(fused[:, 0:3], axis=1)), 1e-12))
+        scaled = fused.copy()
+        scaled[:, 0:3] *= scale
+        _, _, errors, _ = compute_trajectory(scaled, gt_traj, verbose=False)
+        return float(errors[0])
+
+    ate_pft_init = fused_ate(init_f, init_i)
+    ate_pft_opt = fused_ate(opt_f, opt_i)
+    mean_losses = np.mean(np.stack(pft_losses), axis=0)
+    gate_pft_loss = bool(mean_losses[-1] < mean_losses[0])
+    gate_pft_traj = bool(ate_pft_opt <= args.pft_gate * ate_pft_init)
+
+    out = {
+        "mode": "synthetic",
+        "train_loss_first": float(losses[0]),
+        "train_loss_last": float(losses[-1]),
+        "ate_untrained": ate_untrained,
+        "ate_trained": ate_trained,
+        "ate_pft_init": ate_pft_init,
+        "ate_pft_opt": ate_pft_opt,
+        "pft_loss_first": float(mean_losses[0]),
+        "pft_loss_last": float(mean_losses[-1]),
+        "gates": {
+            "trained_beats_untrained": gate_train,
+            "pft_loss_decreases": gate_pft_loss,
+            "pft_no_trajectory_regression": gate_pft_traj,
+        },
+    }
+    out["pass"] = all(out["gates"].values())
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", type=str, default="")
+    p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--seqs", nargs="+", default=["09_02", "10_02"])
+    p.add_argument("--iterations", type=int, default=0,
+                   help="test-time iterations override (0 = training value; "
+                        "the paper anchors use 4)")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_frames", type=int, default=24)
+    p.add_argument("--synthetic_size", type=int, nargs=2, default=(64, 96))
+    p.add_argument("--train_epochs", type=int, default=3)
+    p.add_argument("--pft_epochs", type=int, default=6)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--train_gate", type=float, default=0.8,
+                   help="trained t-ATE must be <= gate * untrained t-ATE")
+    p.add_argument("--pft_gate", type=float, default=1.1,
+                   help="PFT t-ATE must be <= gate * initial t-ATE")
+    args = p.parse_args(argv)
+
+    out = run_synthetic(args) if args.synthetic else run_real(args)
+    print(json.dumps(out, indent=2, default=float))
+    return out
+
+
+if __name__ == "__main__":
+    result = main()
+    sys.exit(0 if result.get("pass") else 1)
