@@ -21,6 +21,114 @@ import os
 import numpy as np
 
 
+def _chain_refine_sequence(seq, args, cfg, state, depth_model, pose_model):
+    """Whole-sequence joint BA (refiner=chain): per-frame depths + coupled
+    initial window poses, then `chain_ba` over overlapping frame blocks.
+
+    Blocks of ``args.chain_block`` frames overlap by ONE frame, so their
+    edge sets partition the sequence's N-1 edges exactly; each block's
+    boundary half-windows keep seam edges doubly constrained. Blocks are
+    the distributable unit (one device per block on a mesh).
+
+    Returns (pose_init [E,6], pose_opt [E,6], scale_edges [E],
+    cost_first, cost_last).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tcsfm.eval.scale_recovery import scale_recovery
+    from tcsfm.solver.ba import chain_ba
+    from tcsfm.solver.coupled import solve_pose_iteratively
+    from tcsfm.utils.helpers import disp_to_depth
+
+    frames_np = np.asarray(seq.images, np.float32)          # [N, H, W, 3]
+    n = len(frames_np)
+    K1 = jnp.asarray(seq.intrinsics[0], jnp.float32)
+
+    @jax.jit
+    def depth_of(params, batch_stats, imgs):
+        dvars = {"params": params["depth"], "batch_stats": batch_stats}
+        disp = depth_model.apply(dvars, imgs)[0]
+        return disp_to_depth(disp, cfg.min_depth, cfg.max_depth)[1]
+
+    @jax.jit
+    def window_init(params, batch_stats, tgt, srcs, dps, K):
+        pvars = {"params": params["pose"]}
+        pose_apply = lambda im: pose_model.apply(pvars, im)     # noqa
+        return solve_pose_iteratively(
+            cfg.iterations, dps, pose_apply, tgt, srcs, K,
+            use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
+            mxu_band_guard=cfg.mxu_band_guard)
+
+    # per-frame depths + DNet scales, chunked at a fixed batch (one compile)
+    ch = 8
+    depths, scales = [], []
+    for i in range(0, n, ch):
+        chunk = frames_np[i:i + ch]
+        pad = ch - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        d = depth_of(state.params, state.batch_stats, jnp.asarray(chunk))
+        s = scale_recovery(d, jnp.broadcast_to(K1, (ch, 3, 3)),
+                           cfg.camera_height / 30.0)
+        depths.append(np.asarray(d)[:ch - pad])
+        scales.append(np.broadcast_to(np.asarray(s), (ch,))[:ch - pad])
+    depths_np = np.concatenate(depths)                      # [N, H, W, 1]
+    frame_scale = np.concatenate(scales)                    # [N]
+
+    # coupled-solver initial poses for windows with targets 1..N-2
+    pp, pn = [], []
+    for i in range(1, n - 1, ch):
+        t_idx = np.arange(i, min(i + ch, n - 1))
+        pad = ch - len(t_idx)
+        t_pad = np.concatenate([t_idx, np.repeat(t_idx[-1:], pad)]) \
+            if pad else t_idx
+        tgt = jnp.asarray(frames_np[t_pad])
+        srcs = jnp.asarray(np.stack([frames_np[t_pad - 1],
+                                     frames_np[t_pad + 1]]))
+        dps = jnp.asarray(np.stack([depths_np[t_pad], depths_np[t_pad - 1],
+                                    depths_np[t_pad + 1]]))
+        poses, _ = window_init(state.params, state.batch_stats, tgt, srcs,
+                               dps, jnp.broadcast_to(K1, (ch, 3, 3)))
+        pp.append(np.asarray(poses[0])[:ch - pad])          # target -> prev
+        pn.append(np.asarray(poses[1])[:ch - pad])          # target -> next
+    pose0_prev = np.concatenate(pp)                         # [N-2, 6]
+    pose0_next = np.concatenate(pn)
+
+    # chain BA per block; block [i, end) owns edges i..end-2
+    solve = jax.jit(lambda f, d, a, b: chain_ba(
+        f, d, K1, a, b, iters=max(args.epochs // 2, 4),
+        depth_prior_weight=0.1, pyramid_levels=args.pyramid_levels))
+    edges, costs0, costs1 = [], [], []
+    i = 0
+    while i < n - 1:
+        end = min(i + args.chain_block, n)
+        if n - end < 3:                 # avoid a tail too short to chain
+            end = n
+        res = solve(jnp.asarray(frames_np[i:end]),
+                    jnp.asarray(depths_np[i:end]),
+                    jnp.asarray(pose0_prev[i:end - 2]),
+                    jnp.asarray(pose0_next[i:end - 2]))
+        edges.append(np.asarray(res.edge_pose))
+        costs0.append(float(res.cost[0]))
+        costs1.append(float(res.cost[-1]))
+        i = end - 1
+    pose_opt = np.concatenate(edges)                        # [N-1, 6]
+
+    # initial per-edge estimate: mean of the available window measurements
+    cnt = np.zeros((n - 1, 1))
+    pose_init = np.zeros((n - 1, 6), np.float32)
+    cnt[:-1] += 1.0
+    cnt[1:] += 1.0
+    pose_init[:-1] += -pose0_prev
+    pose_init[1:] += pose0_next
+    pose_init /= cnt
+
+    scale_edges = 0.5 * (frame_scale[:-1] + frame_scale[1:])   # [N-1]
+    return (pose_init, pose_opt, scale_edges,
+            float(np.mean(costs0)), float(np.mean(costs1)))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_dir", type=str, default="")
@@ -29,10 +137,18 @@ def main(argv=None):
     p.add_argument("--mode", type=str, default="encoder",
                    help="encoder|all_depth|decoder|depth_pred|bottleneck|pose")
     p.add_argument("--refiner", type=str, default="adam",
-                   choices=["adam", "ba"],
+                   choices=["adam", "ba", "chain"],
                    help="adam = reference-style PFT on network state; "
                         "ba = direct Gauss-Newton bundle adjustment over "
-                        "pose + per-pixel depth (Schur complement)")
+                        "pose + per-pixel depth (Schur complement); "
+                        "chain = joint block-tridiagonal BA over whole "
+                        "sequence blocks (cross-window shared-pose "
+                        "coupling, solver/ba.py::chain_ba)")
+    p.add_argument("--chain_block", type=int, default=12,
+                   help="frames per chain-BA block (refiner=chain); blocks "
+                        "overlap by one frame so edges partition exactly")
+    p.add_argument("--pyramid_levels", type=int, default=2,
+                   help="coarse-to-fine levels for refiner=chain")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--window_batch", type=int, default=4)
@@ -122,6 +238,32 @@ def main(argv=None):
             npz = os.path.join(d, "sequence_data.npz")
             seq = (SequenceData.from_npz(npz) if os.path.exists(npz)
                    else SequenceData.from_reference_pkl(d, seq_name))
+
+        if args.refiner == "chain":
+            pose_init, pose_opt, sc_edge, c0, c1 = _chain_refine_sequence(
+                seq, args, cfg, state, depth_model, pose_model)
+            if args.scaling != "unscaled":
+                sc_edge = np.ones_like(sc_edge)
+            pose_init = pose_init.copy()
+            pose_init[:, 0:3] *= (30.0 * sc_edge)[:, None]
+            pose_opt = pose_opt.copy()
+            pose_opt[:, 0:3] *= (30.0 * sc_edge)[:, None]
+            gt_traj = seq.gt_poses[:len(pose_opt) + 1]
+            _, _, err_init, _ = compute_trajectory(
+                pose_init, gt_traj, method="initial", compute_seg_err=True)
+            _, _, err_opt, _ = compute_trajectory(
+                pose_opt, gt_traj, method="optimized", compute_seg_err=True)
+            results[seq_name] = {
+                "errors_initial": [float(e) for e in err_init],
+                "errors_optimized": [float(e) for e in err_opt],
+                "pft_loss_first": c0,
+                "pft_loss_last": c1,
+            }
+            if args.out_dir:
+                os.makedirs(args.out_dir, exist_ok=True)
+                np.savez(os.path.join(args.out_dir, f"{seq_name}_pft.npz"),
+                         pose_init=pose_init, pose_opt=pose_opt)
+            continue
 
         ds = SfMWindowDataset(
             [seq], seq_len=3,
