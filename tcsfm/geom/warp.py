@@ -104,7 +104,7 @@ def _project_with_mask(cam_coords, K, pose_mat, h, w, zeros_padding=True):
 
 def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
                       pose: jax.Array, K: jax.Array, band: int = 32,
-                      exact: bool = True, guard: bool = True,
+                      exact: bool = True, guard=True,
                       interpret: bool = False):
     """inverse_warp2 on the MXU sampling kernel (differentiable).
 
@@ -114,15 +114,26 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     image/depth and the coordinates flow through the custom-VJP Pallas
     backward kernels (tcsfm/ops/warp_mxu_grad.py).
 
-    The banded kernel is exact only while every 8-output-row group's
-    vertical source spread fits in ``band`` rows; with ``guard=True``
-    (default) the band coverage is checked per call (one cheap reduction)
-    and the whole batch falls back to the XLA gather path via ``lax.cond``
-    when any group would under-cover — so a large-rotation or close-range
-    warp can never silently sample zeros into training gradients.
+    The banded kernel is exact only while a pixel's vertical source taps
+    fall inside its 8-output-row group's ``band``-row DMA window. The
+    ``guard`` modes keep that from silently corrupting anything:
+
+      * ``True`` / ``"mask"`` (default): AND the per-pixel band-coverage
+        flag into the valid mask — out-of-band pixels become *invalid*
+        (exactly like out-of-view pixels: zero contribution to losses,
+        solver reconstructions, and gradients) while every in-band pixel
+        stays exact and the kernel runs unconditionally at MXU speed.
+        An all-or-nothing ``lax.cond`` fallback was measured 3.8x slower
+        end-to-end whenever any group violates (random-init depth nets
+        violate ~1/3 of groups).
+      * ``"fallback"``: check coverage per call and fall back to the XLA
+        gather path for the whole batch via ``lax.cond`` — bit-identical
+        to ``inverse_warp2`` under violation, at gather speed.
+      * ``False``: no guard (violating pixels silently sample zeros but
+        remain marked valid — only for benchmarking the raw kernel).
     """
-    from tcsfm.ops.warp_mxu import (band_geometry, grid_sample_mxu_diff,
-                                    vertical_band_ok)
+    from tcsfm.ops.warp_mxu import (band_coverage_mask, band_geometry,
+                                    grid_sample_mxu_diff, vertical_band_ok)
 
     b, h, w, _ = img.shape
     cam = backproject(depth, K)
@@ -130,7 +141,7 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     coords, computed_depth, valid = _project_with_mask(cam, K, pose_mat, h, w)
 
     packed = jnp.concatenate([img, ref_depth], axis=-1)     # [B, H, W, 4]
-    if guard:
+    if guard == "fallback":
         bv, _ = band_geometry(h, w, band)
         ok = jnp.all(vertical_band_ok(coords, h, bv))
         sampled = lax.cond(
@@ -141,6 +152,11 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
         )
     else:
         sampled = grid_sample_mxu_diff(packed, coords, band, interpret, exact)
+        if guard:                                           # "mask" / True
+            bv, _ = band_geometry(h, w, band)
+            in_band = lax.stop_gradient(
+                band_coverage_mask(coords, h, bv))
+            valid = valid & in_band
     warped_img = sampled[..., :3]
     projected_depth = sampled[..., 3:4]
     valid_mask = valid[..., None].astype(img.dtype)

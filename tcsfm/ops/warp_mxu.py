@@ -143,6 +143,29 @@ def _band_bases(y: jax.Array, H: int, BV: int) -> jax.Array:
     return (base // 8) * 8
 
 
+def band_coverage_mask(coords: jax.Array, H: int, band: int) -> jax.Array:
+    """Per-pixel flag: both vertical taps lie inside the band the pixel's
+    8-row group will DMA — i.e. the banded kernel's result for this pixel
+    is exact bilinear. Pixels outside (including the pushed-OOB ones) may
+    sample zeros; callers AND this into the warp valid mask so such
+    pixels are treated like out-of-view instead of corrupting losses.
+
+    Args: coords [B, H, W, 2] normalized; band = the BV actually used
+    (from ``band_geometry``). Returns [B, H, W] bool.
+    """
+    y = ((coords[..., 1] + 1.0) * H - 1.0) * 0.5
+    base = _band_bases(y, H, band)                        # [B, H/G]
+    base_full = jnp.repeat(base, ROWS_PER_GROUP, axis=1)[..., None]
+    # only IN-IMAGE taps need covering: out-of-image taps are zero by the
+    # padding semantics in the banded and XLA samplers alike (valid
+    # pixels can reach y in [-0.5, H-0.5) under the reference's
+    # align_corners normalization quirk), and ceil (not floor+1) keeps
+    # integer y at the band's last row exact (second tap weight 0).
+    lo = jnp.maximum(jnp.floor(y), 0.0)
+    hi = jnp.minimum(jnp.ceil(y), H - 1.0)
+    return (lo >= base_full) & (hi <= base_full + band - 1)
+
+
 def vertical_band_ok(coords: jax.Array, H: int, band: int = 32) -> jax.Array:
     """Diagnostic: per-group flag that the band covers all valid source rows."""
     y = ((coords[..., 1] + 1.0) * H - 1.0) * 0.5

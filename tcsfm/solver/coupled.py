@@ -134,9 +134,12 @@ def solve_pose_iteratively(
       use_mxu_warp: route warps through the Pallas MXU sampler.
       mxu_exact:   False selects the single-pass bf16 sampler (half the
                    matmul cost, ~2e-3 abs image noise) — inference-grade.
-      mxu_band_guard: check the banded kernel's vertical coverage per call
-                   and auto-fallback to the XLA sampler when violated (no
-                   silent-zeros path reachable from training).
+      mxu_band_guard: True folds the banded kernel's per-pixel vertical
+                   coverage into the warp valid mask (out-of-band pixels
+                   are treated as out-of-view — no silent-zeros path
+                   reachable from training, full MXU speed);
+                   "fallback" instead lax.cond-falls back to the XLA
+                   sampler for the whole batch on any violation.
 
     Returns:
       (poses [S, B, 6], poses_inv [S, B, 6]) and, when return_errors, a

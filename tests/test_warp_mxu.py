@@ -102,8 +102,8 @@ class TestBandGuard:
                         jnp.float32)
         return img, depth, ref_depth, pose, K
 
-    def test_guard_fires_on_band_violation(self):
-        """Large-rotation warp: guarded output == XLA path (not zeros)."""
+    def test_fallback_guard_fires_on_band_violation(self):
+        """guard='fallback': large-rotation warp == XLA path (not zeros)."""
         from tcsfm.geom.warp import inverse_warp2, inverse_warp2_mxu
         from tcsfm.ops.warp_mxu import band_geometry, vertical_band_ok
         from tcsfm.geom.camera import backproject
@@ -120,10 +120,38 @@ class TestBandGuard:
             "fixture must actually violate the band"
 
         guarded = inverse_warp2_mxu(img, depth, ref_depth, -pose, K, band=16,
-                                    guard=True, interpret=True)
+                                    guard="fallback", interpret=True)
         xla = inverse_warp2(img, depth, ref_depth, -pose, K)
         for g, r in zip(guarded, xla):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+
+    def test_mask_guard_invalidates_uncovered_pixels(self):
+        """guard=True (mask mode): the kernel runs unconditionally; pixels
+        whose taps the band covers match the XLA path exactly, every
+        other pixel is flagged INVALID — so no valid pixel ever carries a
+        silently-zero sample (VERDICT r1 weak #1, at MXU speed)."""
+        from tcsfm.geom.warp import inverse_warp2, inverse_warp2_mxu
+
+        img, depth, ref_depth, pose, K = self._warp_inputs(rz=0.6)
+        wi_m, vm_m, pd_m, cd_m = inverse_warp2_mxu(
+            img, depth, ref_depth, -pose, K, band=16, guard=True,
+            interpret=True)
+        wi_x, vm_x, pd_x, cd_x = inverse_warp2(img, depth, ref_depth,
+                                               -pose, K)
+        vm_m = np.asarray(vm_m)
+        vm_x = np.asarray(vm_x)
+        # the violating fixture must actually lose some pixels...
+        assert vm_m.sum() < vm_x.sum()
+        # ...but keep a meaningful share
+        assert vm_m.sum() > 0.2 * vm_x.sum()
+        # masked-valid pixels are exact vs the XLA sampler
+        np.testing.assert_allclose(np.asarray(wi_m) * vm_m,
+                                   np.asarray(wi_x) * vm_m, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pd_m) * vm_m,
+                                   np.asarray(pd_x) * vm_m, atol=1e-5)
+        # computed depth doesn't pass through the sampler
+        np.testing.assert_allclose(np.asarray(cd_m), np.asarray(cd_x),
+                                   atol=1e-6)
 
     def test_guard_pass_through_on_smooth_warp(self):
         """Small warp: guard stays on the MXU path (parity with unguarded)."""
@@ -138,7 +166,24 @@ class TestBandGuard:
         for g, r in zip(guarded, raw):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-6)
 
-    def test_guard_grads_flow(self):
+    def test_mask_guard_grads_flow(self):
+        """Mask mode: pose gradients through the masked objective are
+        finite and nonzero (in-band pixels still drive the warp)."""
+        from tcsfm.geom.warp import inverse_warp2_mxu
+
+        img, depth, ref_depth, pose, K = self._warp_inputs(rz=0.6)
+
+        def loss(p):
+            wi, vm, pd, cd = inverse_warp2_mxu(img, depth, ref_depth, -p, K,
+                                               band=16, guard=True,
+                                               interpret=True)
+            return jnp.sum(wi * vm)
+
+        g = jax.grad(loss)(pose)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert np.abs(np.asarray(g)).max() > 0
+
+    def test_fallback_guard_grads_flow(self):
         """Gradients flow through the cond fallback branch."""
         from tcsfm.geom.warp import inverse_warp2, inverse_warp2_mxu
 
@@ -146,7 +191,7 @@ class TestBandGuard:
 
         def loss_mxu(p):
             wi, vm, pd, cd = inverse_warp2_mxu(img, depth, ref_depth, -p, K,
-                                               band=16, guard=True,
+                                               band=16, guard="fallback",
                                                interpret=True)
             return jnp.sum(wi * vm)
 
