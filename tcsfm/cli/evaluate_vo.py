@@ -12,6 +12,28 @@ import json
 import os
 
 
+def _write_plots(plot_dir: str, seq_name: str, res: dict) -> None:
+    """Per-sequence trajectory plot set (TrajectoryVisualizer parity:
+    top-down, averaged segment errors, cumulative error norms)."""
+    from tcsfm import vis
+    from tcsfm.eval.trajectory import TrajectoryMetrics
+
+    gt = res["gt_traj"]
+    named = {label: TrajectoryMetrics(gt, est)
+             for label, est in res["est_trajs"].items()}
+    trajs = [gt] + list(res["est_trajs"].values())
+    labels = ["ground truth"] + list(res["est_trajs"].keys())
+    vis.plot_trajectories(
+        trajs, labels, title=seq_name,
+        save_file=os.path.join(plot_dir, f"{seq_name}_topdown.png"))
+    vis.plot_segment_errors(
+        named, title=seq_name,
+        save_file=os.path.join(plot_dir, f"{seq_name}_seg_err.png"))
+    vis.plot_cum_norm_err(
+        named, title=seq_name,
+        save_file=os.path.join(plot_dir, f"{seq_name}_cum_err.png"))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_dir", type=str, default="",
@@ -30,6 +52,11 @@ def main(argv=None):
                    help="single-pass bf16 MXU sampler variant")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out", type=str, default="")
+    p.add_argument("--plot_dir", type=str, default="",
+                   help="directory for per-seq trajectory plots (top-down, "
+                        "segment errors, cumulative error norms; "
+                        "visualizers.py TrajectoryVisualizer equivalents) "
+                        "plus a results.csv across sequences")
     p.add_argument("--save_preds", type=str, default="",
                    help="directory to save per-seq pose predictions (npz) "
                         "for later replay")
@@ -69,6 +96,13 @@ def main(argv=None):
                      state.batch_stats, dnet_rescaling=not args.no_dnet,
                      use_mxu_warp=args.use_mxu_warp)
 
+    logger = None
+    if args.plot_dir:
+        from tcsfm.eval.trajectory import ResultsLogger
+
+        os.makedirs(args.plot_dir, exist_ok=True)
+        logger = ResultsLogger(os.path.join(args.plot_dir, "results.csv"))
+
     all_results = {}
     for seq_name in (["synthetic"] if args.synthetic else args.seqs):
         if args.synthetic:
@@ -81,14 +115,16 @@ def main(argv=None):
         if args.load_preds:
             res = evaluate_saved_predictions(
                 os.path.join(args.load_preds, f"{seq_name}_preds.npz"),
-                seq, dnet=not args.no_dnet)
+                seq, dnet=not args.no_dnet, logger=logger)
         else:
-            res = ev.run_sequence(seq, batch_size=args.batch)
+            res = ev.run_sequence(seq, batch_size=args.batch, logger=logger)
             if args.save_preds:
                 os.makedirs(args.save_preds, exist_ok=True)
                 save_predictions(
                     os.path.join(args.save_preds, f"{seq_name}_preds.npz"),
                     res)
+        if args.plot_dir:
+            _write_plots(args.plot_dir, seq_name, res)
         all_results[seq_name] = {
             k: v for k, v in res.items()
             if k.startswith("errors") or k == "gt_scale"

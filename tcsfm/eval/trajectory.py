@@ -179,6 +179,37 @@ def segment_errors(
     return np.asarray(rows).reshape(-1, 3)
 
 
+def avg_segment_errors(errs: np.ndarray) -> np.ndarray:
+    """Per-length averages of :func:`segment_errors` rows.
+
+    [M, 3] (length, trans frac, rot rad/m) → [K, 3] with one row per
+    distinct length — pyslam ``segment_errors``'s second (``avg_segerr``)
+    return, consumed by the leaderboard-style plot
+    (visualizers.py:139-146)."""
+    errs = np.asarray(errs, np.float64).reshape(-1, 3)
+    if errs.shape[0] == 0:
+        return np.zeros((0, 3))
+    lengths = np.unique(errs[:, 0])
+    return np.asarray([
+        [L, float(np.mean(errs[errs[:, 0] == L, 1])),
+         float(np.mean(errs[errs[:, 0] == L, 2]))]
+        for L in lengths
+    ])
+
+
+def error_norms(gt_traj: np.ndarray,
+                est_traj: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-frame alignment error norms (pyslam ``error_norms``):
+    (trans_err [N] m, rot_err [N] rad) of T_gt^{-1} · T_est."""
+    t_errs, r_errs = [], []
+    for Tg, Te in zip(gt_traj, est_traj):
+        err = np_se3_inv(np_normalize_rotation(np.asarray(Tg, np.float64))) @ \
+            np_normalize_rotation(np.asarray(Te, np.float64))
+        t_errs.append(np.linalg.norm(err[:3, 3]))
+        r_errs.append(rotation_angle(err[:3, :3]))
+    return np.asarray(t_errs), np.asarray(r_errs)
+
+
 class TrajectoryMetrics:
     """Drop-in analogue of pyslam.metrics.TrajectoryMetrics ('Twv')."""
 
@@ -191,7 +222,16 @@ class TrajectoryMetrics:
 
     def segment_errors(self, seg_lengths: Sequence[float]):
         errs = segment_errors(self.gt, self.est, seg_lengths)
-        return None, errs
+        return errs, avg_segment_errors(errs)
+
+    def error_norms(self) -> Tuple[np.ndarray, np.ndarray]:
+        return error_norms(self.gt, self.est)
+
+    def cum_err(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Cumulative error norms over the trajectory (pyslam ``cum_err``,
+        visualizers.py plot_cum_norm_err)."""
+        t, r = error_norms(self.gt, self.est)
+        return np.cumsum(t), np.cumsum(r)
 
 
 def compute_trajectory(
@@ -239,7 +279,11 @@ def compute_trajectory(
 
 
 class ResultsLogger:
-    """Metric accumulator (validate.py:137-165)."""
+    """Metric accumulator + CSV writer (validate.py:137-165).
+
+    The reference declares a CSV ``filename`` but its writes are commented
+    out; here a non-empty filename actually produces the CSV, with the
+    reference's two header rows (validate.py:140-141)."""
 
     def __init__(self, filename: str = ""):
         self.filename = filename
@@ -248,8 +292,21 @@ class ResultsLogger:
         self.t_mse_list: list = []
         self.r_mse_list: list = []
         self.results: dict = {}
+        if self.filename:
+            import csv
+
+            with open(self.filename, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["", "", "m-ATE", "", "Mean Segment Errors", ""])
+                w.writerow(["Sequence (Length)", "Name", "Trans. (m)",
+                            "Rot. (deg)", "Trans. (%)", "Rot. (deg/100m)"])
 
     def log(self, seq, name, t_ate, r_ate, t_mse, r_mse):
+        if self.filename:
+            import csv
+
+            with open(self.filename, "a", newline="") as f:
+                csv.writer(f).writerow([seq, name, t_ate, r_ate, t_mse, r_mse])
         self.t_ate_list.append(t_ate)
         self.r_ate_list.append(r_ate)
         self.t_mse_list.append(t_mse)

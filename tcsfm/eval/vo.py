@@ -93,7 +93,8 @@ class VOEvaluator:
         self._infer = infer
 
     def run_sequence(self, seq: SequenceData, batch_size: int = 8,
-                     verbose: bool = True) -> Dict:
+                     verbose: bool = True,
+                     logger: Optional[ResultsLogger] = None) -> Dict:
         """Full-sequence VO: pair windows (img_per_sample=2), stride 1."""
         ds = SfMWindowDataset(
             [seq], seq_len=2,
@@ -126,13 +127,14 @@ class VOEvaluator:
         inv[:, 0:3] *= METRIC_SCALE
         return metrics_from_pose_vecs(seq.name, seq.gt_poses, fwd, inv, gts,
                                       scales, dnet=self.dnet,
-                                      verbose=verbose)
+                                      verbose=verbose, logger=logger)
 
 
 def metrics_from_pose_vecs(seq_name: str, gt_traj, fwd: np.ndarray,
                            inv: np.ndarray, gts: np.ndarray,
                            scales: Optional[np.ndarray], dnet: bool = True,
-                           verbose: bool = True) -> Dict:
+                           verbose: bool = True,
+                           logger: Optional[ResultsLogger] = None) -> Dict:
     """Trajectory metrics from (already metric-scaled) fwd/inv pose vecs.
 
     The shared tail of VO evaluation — fwd/inv fusion, DNet and GT
@@ -142,23 +144,26 @@ def metrics_from_pose_vecs(seq_name: str, gt_traj, fwd: np.ndarray,
     unscaled = (fwd - inv) / 2.0                  # evaluate_vo_model.py:140
 
     results = {"fwd_pose_vec": fwd, "inv_pose_vec": inv,
-               "gt_pose_vec": gts, "dnet_scale_factor": scales}
-    logger = ResultsLogger()
+               "gt_pose_vec": gts, "dnet_scale_factor": scales,
+               "gt_traj": np.asarray(gt_traj), "est_trajs": {}}
+    logger = logger if logger is not None else ResultsLogger()
 
-    _, _, errors, _ = compute_trajectory(
+    est, _, errors, _ = compute_trajectory(
         unscaled, gt_traj, method="unscaled", compute_seg_err=True,
         verbose=verbose)
     logger.log(seq_name, "unscaled", *errors)
     results["errors_unscaled"] = errors
+    results["est_trajs"]["unscaled"] = est
 
     if dnet and scales is not None:
         scaled_dnet = unscaled.copy()
         scaled_dnet[:, 0:3] *= scales
-        _, _, errors, _ = compute_trajectory(
+        est, _, errors, _ = compute_trajectory(
             scaled_dnet, gt_traj, method="scaled (dnet)",
             compute_seg_err=True, verbose=verbose)
         logger.log(seq_name, "dnet scaled", *errors)
         results["errors_dnet"] = errors
+        results["est_trajs"]["dnet"] = est
 
     # GT mean-norm scaling (evaluate_vo_model.py:142-145)
     gt_scale = (
@@ -167,11 +172,12 @@ def metrics_from_pose_vecs(seq_name: str, gt_traj, fwd: np.ndarray,
     )
     scaled_gt = unscaled.copy()
     scaled_gt[:, 0:3] *= gt_scale
-    _, _, errors, _ = compute_trajectory(
+    est, _, errors, _ = compute_trajectory(
         scaled_gt, gt_traj, method="scaled (gt)", compute_seg_err=True,
         verbose=verbose)
     logger.log(seq_name, "gt scaled", *errors)
     results["errors_gt_scaled"] = errors
+    results["est_trajs"]["gt"] = est
     results["gt_scale"] = gt_scale
     results["logger"] = logger.results
     return results
@@ -192,7 +198,8 @@ def save_predictions(path: str, results: Dict) -> None:
 
 def evaluate_saved_predictions(path: str, seq: SequenceData,
                                dnet: bool = True,
-                               verbose: bool = True) -> Dict:
+                               verbose: bool = True,
+                               logger: Optional[ResultsLogger] = None) -> Dict:
     """Replay VO metrics from saved predictions without rerunning the
     networks (the reference's load_from_mat path,
     evaluate_vo_model.py:25,137)."""
@@ -201,4 +208,4 @@ def evaluate_saved_predictions(path: str, seq: SequenceData,
               if "dnet_scale_factor" in d.files else None)
     return metrics_from_pose_vecs(
         seq.name, seq.gt_poses, d["fwd_pose_vec"], d["inv_pose_vec"],
-        d["gt_pose_vec"], scales, dnet=dnet, verbose=verbose)
+        d["gt_pose_vec"], scales, dnet=dnet, verbose=verbose, logger=logger)

@@ -120,6 +120,93 @@ def plot_trajectories(trajs: Sequence[np.ndarray], labels: Sequence[str],
     return out
 
 
+def plot_segment_errors(named_tms, seg_lengths=None, title: str = "",
+                        save_file: Optional[str] = None) -> np.ndarray:
+    """KITTI-leaderboard-style averaged segment errors vs segment length
+    (visualizers.py TrajectoryVisualizer.plot_segment_errors:122-172).
+
+    Args:
+      named_tms: {label: TrajectoryMetrics} — one curve per entry.
+      seg_lengths: path lengths in metres (default 100..800 step 100).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    seg_lengths = list(seg_lengths or range(100, 801, 100))
+    fig, ax = plt.subplots(1, 2, figsize=(8, 3))
+    for label, tm in named_tms.items():
+        _, avg = tm.segment_errors(seg_lengths)
+        if avg.shape[0] == 0:
+            continue
+        # trans: fraction → %; rot: rad/m → deg/m (visualizers.py:142-146)
+        ax[0].plot(avg[:, 0], avg[:, 1] * 100.0, "-s", label=label)
+        ax[1].plot(avg[:, 0], avg[:, 2] * 180.0 / np.pi, "-s", label=label)
+    for a, t, yl in ((ax[0], "Translational error", "Average error (%)"),
+                     (ax[1], "Rotational error", "Average error (deg/m)")):
+        a.minorticks_on()
+        a.grid(which="both", linestyle=":", linewidth=0.2)
+        a.set_title(t)
+        a.set_xlabel("Segment length (m)")
+        a.set_ylabel(yl)
+    if ax[1].get_legend_handles_labels()[1]:
+        ax[1].legend()
+    if title:
+        fig.suptitle(title)
+    out = _fig_to_array(fig)
+    if save_file:
+        from PIL import Image
+
+        Image.fromarray(out).save(save_file)
+    return out
+
+
+def _norm_err_plot(named_tms, cumulative: bool, title: str,
+                   save_file: Optional[str]) -> np.ndarray:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    err_name = "Cumulative Err. Norm." if cumulative else "Err. Norm."
+    fig, ax = plt.subplots(1, 2, figsize=(8, 3))
+    for label, tm in named_tms.items():
+        t_err, r_err = tm.cum_err() if cumulative else tm.error_norms()
+        ax[0].plot(t_err, "-", label=label)
+        ax[1].plot(r_err * 180.0 / np.pi, "-", label=label)
+    for a, t, unit in ((ax[0], "Translational", "m"),
+                       (ax[1], "Rotational", "deg")):
+        a.minorticks_on()
+        a.grid(which="both", linestyle=":", linewidth=0.2)
+        a.set_title(f"{t} {err_name}")
+        a.set_xlabel("Timestep")
+        a.set_ylabel(f"{err_name} ({unit})")
+    ax[1].legend()
+    if title:
+        fig.suptitle(title)
+    out = _fig_to_array(fig)
+    if save_file:
+        from PIL import Image
+
+        Image.fromarray(out).save(save_file)
+    return out
+
+
+def plot_norm_err(named_tms, title: str = "",
+                  save_file: Optional[str] = None) -> np.ndarray:
+    """Per-timestep trans/rot error norms
+    (visualizers.py plot_norm_err:236-243)."""
+    return _norm_err_plot(named_tms, False, title, save_file)
+
+
+def plot_cum_norm_err(named_tms, title: str = "",
+                      save_file: Optional[str] = None) -> np.ndarray:
+    """Cumulative trans/rot error norms
+    (visualizers.py plot_cum_norm_err:245-252)."""
+    return _norm_err_plot(named_tms, True, title, save_file)
+
+
 def reconstruction_panel(source_img, reconstructed, target_img,
                          save_file: Optional[str] = None) -> np.ndarray:
     """(source, reconstruction, target) triplet panel used by the training

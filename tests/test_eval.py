@@ -70,6 +70,64 @@ class TestSegmentErrors:
         assert errs.shape == (0, 3)
 
 
+class TestVisualizerMetrics:
+    """TrajectoryVisualizer support metrics (visualizers.py:122-252)."""
+
+    def test_avg_segment_errors(self):
+        gt = _straight_line_traj(n=300, step=2.0)
+        est = gt.copy()
+        est[:, 2, 3] *= 1.01
+        errs = T.segment_errors(gt, est, [100, 200])
+        avg = T.avg_segment_errors(errs)
+        assert avg.shape == (2, 3)
+        np.testing.assert_allclose(avg[:, 0], [100.0, 200.0])
+        np.testing.assert_allclose(avg[:, 1], 0.01, rtol=1e-6)
+
+    def test_error_norms_and_cum(self):
+        gt = _straight_line_traj(n=20)
+        est = gt.copy()
+        est[:, 0, 3] += 2.0
+        tm = T.TrajectoryMetrics(gt, est)
+        t_err, r_err = tm.error_norms()
+        np.testing.assert_allclose(t_err, 2.0, atol=1e-9)
+        np.testing.assert_allclose(r_err, 0.0, atol=1e-6)
+        t_cum, _ = tm.cum_err()
+        np.testing.assert_allclose(t_cum[-1], 2.0 * len(gt), atol=1e-6)
+        assert np.all(np.diff(t_cum) >= 0)
+
+    def test_metrics_segment_errors_returns_avg(self):
+        gt = _straight_line_traj(n=300, step=2.0)
+        tm = T.TrajectoryMetrics(gt, gt)
+        errs, avg = tm.segment_errors([100])
+        assert errs.shape[0] > avg.shape[0] == 1
+
+    def test_results_logger_csv(self, tmp_path):
+        path = str(tmp_path / "results.csv")
+        logger = T.ResultsLogger(path)
+        logger.log("09_02", "unscaled", 1.0, 2.0, 3.0, 4.0)
+        logger.log("10_02", "dnet scaled", 5.0, 6.0, 7.0, 8.0)
+        lines = open(path).read().strip().splitlines()
+        assert len(lines) == 4  # 2 header rows + 2 data rows
+        assert "m-ATE" in lines[0] and "Sequence (Length)" in lines[1]
+        assert lines[2].split(",")[:2] == ["09_02", "unscaled"]
+        assert lines[3].split(",")[2] == "5.0"
+
+    def test_plot_functions_produce_images(self, tmp_path):
+        from tcsfm import vis
+
+        gt = _straight_line_traj(n=300, step=2.0)
+        est = gt.copy()
+        est[:, 2, 3] *= 1.02
+        named = {"est": T.TrajectoryMetrics(gt, est)}
+        seg_file = str(tmp_path / "seg.png")
+        img = vis.plot_segment_errors(named, save_file=seg_file)
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert (tmp_path / "seg.png").exists()
+        img2 = vis.plot_cum_norm_err(named)
+        img3 = vis.plot_norm_err(named)
+        assert img2.ndim == 3 and img3.ndim == 3
+
+
 class TestComputeTrajectory:
     def test_end_to_end(self):
         gt = _straight_line_traj(n=200, step=2.0)

@@ -45,6 +45,26 @@ class TestVOEvaluator:
                 key, res[key])
         assert np.isfinite(res["gt_scale"]) and res["gt_scale"] > 0
 
+    def test_est_trajs_and_plot_outputs(self, setup, tmp_path):
+        """run_sequence exports est/gt trajectories and the VO CLI's plot
+        writer emits the TrajectoryVisualizer plot set + CSV."""
+        from tcsfm.cli.evaluate_vo import _write_plots
+        from tcsfm.eval.trajectory import ResultsLogger
+
+        cfg, state, dm, pm, seq = setup
+        ev = VOEvaluator(cfg, dm, pm, state.params, state.batch_stats,
+                         dnet_rescaling=True, cam_height=1.5)
+        logger = ResultsLogger(str(tmp_path / "results.csv"))
+        res = ev.run_sequence(seq, batch_size=4, verbose=False,
+                              logger=logger)
+        assert set(res["est_trajs"]) == {"unscaled", "dnet", "gt"}
+        assert res["est_trajs"]["unscaled"].shape == (len(seq), 4, 4)
+        _write_plots(str(tmp_path), seq.name, res)
+        for suffix in ("topdown", "seg_err", "cum_err"):
+            assert (tmp_path / f"{seq.name}_{suffix}.png").exists()
+        lines = open(tmp_path / "results.csv").read().strip().splitlines()
+        assert len(lines) == 2 + 3  # header + unscaled/dnet/gt rows
+
     def test_saved_predictions_replay(self, setup, tmp_path):
         """Save-then-replay reproduces the metrics exactly without the
         networks (reference load_from_mat path, evaluate_vo_model.py:25)."""
