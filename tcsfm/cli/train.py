@@ -146,13 +146,22 @@ def main(argv=None):
         cfg = cfg.replace(mxu_exact=False)
 
     from tcsfm.data.loader import BatchLoader
-    from tcsfm.dist.mesh import make_mesh
+    from tcsfm.dist.mesh import initialize_distributed, make_mesh, process_info
     from tcsfm.train.checkpoint import load_checkpoint, save_checkpoint
     from tcsfm.train.trainer import Trainer, create_train_state
 
+    # multi-host pod launch: starts the coordination service when
+    # JAX_COORDINATOR_ADDRESS etc. are set; no-op on one host
+    initialize_distributed()
+    proc_idx, proc_cnt = process_info()
+
     train_ds, val_ds, test_ds, test_seqs = load_datasets(cfg, args)
-    train_loader = BatchLoader(train_ds, cfg.minibatch, shuffle=True)
-    val_loader = BatchLoader(val_ds, cfg.minibatch, shuffle=False)
+    train_loader = BatchLoader(train_ds, cfg.minibatch, shuffle=True,
+                               process_index=proc_idx,
+                               process_count=proc_cnt)
+    val_loader = BatchLoader(val_ds, cfg.minibatch, shuffle=False,
+                             process_index=proc_idx,
+                             process_count=proc_cnt)
     steps_per_epoch = max(len(train_loader), 1)
 
     state, depth_model, pose_model = create_train_state(

@@ -41,13 +41,32 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 pad_tail: bool = False, prefetch: int = 2):
+                 pad_tail: bool = False, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch size. With
+        ``process_count > 1`` (multi-host data loading), every process
+        must construct the loader with the same seed — the shuffle order
+        is derived identically everywhere — and each yields only its own
+        ``batch_size / process_count`` contiguous rows of every global
+        batch, ready for ``shard_process_local_batch``. Multi-process
+        requires drop_last (a padded tail would need cross-host-agreed
+        masks; eval paths stay single-process or window-sharded)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last and not pad_tail
         self.pad_tail = pad_tail
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"global batch_size {batch_size} not divisible by "
+                    f"process_count {process_count}")
+            if not self.drop_last:
+                raise ValueError(
+                    "multi-process loading requires drop_last=True")
         self.rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -61,8 +80,13 @@ class BatchLoader:
         if self.shuffle:
             self.rng.shuffle(order)
         nb = len(self)
+        local_bs = self.batch_size // self.process_count
         for b in range(nb):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if self.process_count > 1:
+                # this process's contiguous rows of the global batch
+                idx = idx[self.process_index * local_bs:
+                          (self.process_index + 1) * local_bs]
             samples = [self.dataset[int(i)] for i in idx]
             batch = collate_windows(samples)
             pad = self.batch_size - len(idx)

@@ -22,7 +22,8 @@ from flax import struct
 from flax.core import FrozenDict
 
 from tcsfm.config import Config
-from tcsfm.dist.mesh import make_mesh, replicated, shard_batch
+from tcsfm.dist.mesh import (make_mesh, replicated, shard_batch,
+                             shard_process_local_batch)
 from tcsfm.losses.photometric import compute_losses, pose_consistency_loss
 from tcsfm.models.depth import DepthNet
 from tcsfm.models.pose import PoseNet
@@ -189,6 +190,10 @@ class Trainer:
         self.eval_step = make_eval_step(cfg, depth_model, pose_model)
         self.depth_model = depth_model
         self.pose_model = pose_model
+        # multi-host launches feed process-local loader rows; single-host
+        # keeps the plain device_put path (identical result, less overhead)
+        self._shard = (shard_process_local_batch
+                       if jax.process_count() > 1 else shard_batch)
 
     def run_epoch(self, loader, epoch: int, phase: str = "train",
                   verbose: bool = True) -> Dict[str, float]:
@@ -197,7 +202,7 @@ class Trainer:
         n = 0
         for batch in loader:
             batch.pop("_valid", None)
-            batch = shard_batch(self.mesh, batch)
+            batch = self._shard(self.mesh, batch)
             if phase == "train":
                 self.state, losses = self.train_step(self.state, batch)
             else:
