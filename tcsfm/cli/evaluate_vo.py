@@ -86,6 +86,8 @@ def main(argv=None):
         args.use_mxu_warp = jax.default_backend() not in ("cpu",)
     if args.fast_sampler:
         cfg = cfg.replace(mxu_exact=False)
+    # Config.use_tail_kernel stays opt-in: the fused tail kernel has not
+    # yet beaten the XLA subpixel decoder path (PERFORMANCE.md round 2)
 
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=1)

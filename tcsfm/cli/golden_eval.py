@@ -115,6 +115,94 @@ def run_real(args) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Fast-sampler (mxu_exact=False) accuracy gate
+# ---------------------------------------------------------------------------
+
+
+def run_fast_sampler_ab(args) -> dict:
+    """A/B the single-pass bf16 fast sampler against the exact MXU sampler
+    on trained weights (VERDICT r1 item #7).
+
+    The fast variant halves sampler matmuls (+25% measured inference
+    throughput) at bf16-rounding accuracy; it must not be defaulted on
+    until its effect on *trained-model* outputs is bounded. This runs the
+    full VO pipeline twice — identical weights/sequence, only the sampler
+    differs — and gates on pose-vector delta (relative to the pose RMS)
+    and gt-scaled t-ATE delta. Needs a TPU backend: the MXU kernel and
+    its bf16 behavior don't exist on CPU.
+    """
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        raise SystemExit("fast_sampler_ab needs a TPU backend "
+                         "(the Pallas MXU sampler does not run on CPU)")
+
+    from tcsfm.config import Config
+    from tcsfm.data.dataset import SequenceData
+    from tcsfm.data.synthetic import make_synthetic_sequence
+    from tcsfm.eval.vo import VOEvaluator
+    from tcsfm.train.checkpoint import load_checkpoint
+    from tcsfm.train.trainer import create_train_state
+
+    cfg = Config.load(os.path.join(args.model_dir, "config.json"))
+    if args.iterations:
+        cfg = cfg.replace(iterations=args.iterations)
+    state, depth_model, pose_model = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
+    state, _, _ = load_checkpoint(args.model_dir, state, load_best=True)
+
+    if args.synthetic:
+        h, w = ((64, 96) if cfg.img_resolution == "low"
+                else cfg.image_size)
+        seqs = {"synthetic": make_synthetic_sequence(
+            max(16, args.synthetic_frames), (h, w), seed=11)}
+    else:
+        seqs = {}
+        for seq_name in args.seqs:
+            d = os.path.join(args.data_dir, seq_name)
+            npz = os.path.join(d, "sequence_data.npz")
+            seqs[seq_name] = (
+                SequenceData.from_npz(npz) if os.path.exists(npz)
+                else SequenceData.from_reference_pkl(d, seq_name))
+
+    out = {"mode": "fast_sampler_ab", "seqs": {}, "pass": True}
+    for name, seq in seqs.items():
+        res = {}
+        for label, exact in (("exact", True), ("fast", False)):
+            ev = VOEvaluator(cfg.replace(mxu_exact=exact), depth_model,
+                             pose_model, state.params, state.batch_stats,
+                             dnet_rescaling=False, use_mxu_warp=True)
+            res[label] = ev.run_sequence(seq, batch_size=args.batch,
+                                         verbose=False)
+        fe = res["exact"]["fwd_pose_vec"]
+        ff = res["fast"]["fwd_pose_vec"]
+        pose_rms = float(np.sqrt(np.mean(fe ** 2)))
+        pose_delta_rel = float(np.max(np.abs(fe - ff)) / max(pose_rms, 1e-12))
+        ate_e = float(res["exact"]["errors_gt_scaled"][0])
+        ate_f = float(res["fast"]["errors_gt_scaled"][0])
+        ate_delta_rel = abs(ate_f - ate_e) / max(ate_e, 1e-12)
+        row = {
+            "pose_rms": pose_rms,
+            "pose_delta_rel": pose_delta_rel,
+            "t_ate_exact": ate_e,
+            "t_ate_fast": ate_f,
+            "ate_delta_rel": ate_delta_rel,
+            "gates": {
+                "pose_delta": pose_delta_rel <= args.ab_pose_gate,
+                "ate_delta": ate_delta_rel <= args.ab_ate_gate,
+            },
+        }
+        row["pass"] = all(row["gates"].values())
+        out["seqs"][name] = row
+        out["pass"] &= row["pass"]
+        print(f"{name}: pose delta {pose_delta_rel:.4f} (gate "
+              f"{args.ab_pose_gate}), t-ATE {ate_e:.3f}->{ate_f:.3f} "
+              f"({ate_delta_rel:.4f} rel, gate {args.ab_ate_gate}) "
+              f"-> {'PASS' if row['pass'] else 'FAIL'}")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Synthetic quantitative gate
 # ---------------------------------------------------------------------------
 
@@ -260,9 +348,20 @@ def main(argv=None):
                    help="trained t-ATE must be <= gate * untrained t-ATE")
     p.add_argument("--pft_gate", type=float, default=1.1,
                    help="PFT t-ATE must be <= gate * initial t-ATE")
+    p.add_argument("--fast_sampler_ab", action="store_true",
+                   help="A/B the mxu_exact=False fast sampler vs the exact "
+                        "sampler on --model_dir weights (TPU only)")
+    p.add_argument("--ab_pose_gate", type=float, default=0.02,
+                   help="max |pose delta| / pose RMS allowed for the fast "
+                        "sampler")
+    p.add_argument("--ab_ate_gate", type=float, default=0.05,
+                   help="max relative gt-scaled t-ATE delta allowed")
     args = p.parse_args(argv)
 
-    out = run_synthetic(args) if args.synthetic else run_real(args)
+    if args.fast_sampler_ab:
+        out = run_fast_sampler_ab(args)
+    else:
+        out = run_synthetic(args) if args.synthetic else run_real(args)
     print(json.dumps(out, indent=2, default=float))
     return out
 

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tcsfm.models.layers import ReflConv, resize_nearest, upsample2x_nearest
+from tcsfm.models.layers import (ReflConv, SubpixelUpConv, resize_nearest,
+                                 upsample2x_nearest)
 from tcsfm.models.resnet import ResNet18Encoder
 
 Dtype = Any
@@ -33,13 +34,19 @@ class DepthNet(nn.Module):
     num_scales: int = 1
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    # Exact subpixel fusion of each upconv's upsample2x+reflconv — same
+    # parameter tree, ~4x fewer conv positions (see layers._PhaseConv3x3).
+    # False keeps the literal upsample->pad->conv formulation for parity
+    # debugging; both paths share checkpoints.
+    subpixel: bool = True
 
     def setup(self):
         self.encoder = ResNet18Encoder(dtype=self.dtype,
                                        bn_axis_name=self.bn_axis_name)
         planes2 = (512,) + UPCONV_PLANES
+        up_cls = SubpixelUpConv if self.subpixel else ReflConv
         self.upconvs = [
-            ReflConv(planes2[i + 1], dtype=self.dtype, name=f"upconv{i}")
+            up_cls(planes2[i + 1], dtype=self.dtype, name=f"upconv{i}")
             for i in range(len(UPCONV_PLANES))
         ]
         self.iconvs = [
@@ -66,18 +73,22 @@ class DepthNet(nn.Module):
     def decode(self, skips: Sequence[jax.Array]) -> List[jax.Array]:
         """Skip features → list of sigmoid disparities [B, h_s, w_s, 1],
         finest scale first (depth_models.py:167-209)."""
+        def upconv(i, x):
+            # subpixel modules fuse the 2x upsample into the conv itself
+            if not self.subpixel:
+                x = upsample2x_nearest(x)
+            return nn.elu(self.upconvs[i](x))
+
         out = skips[-1]
         depth_features = []
         for i in range(len(self.iconvs) - 1):
             depth_features.append(out)
-            up = upsample2x_nearest(out)
-            up = nn.elu(self.upconvs[i](up))
+            up = upconv(i, out)
             up = up + skips[-(i + 2)]
             out = nn.elu(self.iconvs[i](up))
 
         depth_features.append(out)
-        up = upsample2x_nearest(out)
-        up = nn.elu(self.upconvs[-1](up))
+        up = upconv(len(self.iconvs) - 1, out)
         out = nn.elu(self.iconvs[-1](up))
         depth_features.append(out)
 
@@ -100,5 +111,53 @@ class DepthNet(nn.Module):
         disps.reverse()
         return disps
 
+    def decode_phase_tail(self, skips: Sequence[jax.Array]) -> jax.Array:
+        """Decoder stages 0-3 plus the last upconv in PHASE FORM
+        [B, H/2, W/2, 4*32] — the input of the fused decoder-tail kernel
+        (tcsfm.ops.decoder_tail), which replaces the full-resolution
+        iconv4/feature/head convs. num_scales == 1 and subpixel only."""
+        assert self.subpixel and self.num_scales == 1
+        out = skips[-1]
+        for i in range(len(self.iconvs) - 1):
+            up = nn.elu(self.upconvs[i](out))
+            up = up + skips[-(i + 2)]
+            out = nn.elu(self.iconvs[i](up))
+        return self.upconvs[-1](out, phase_form=True)
+
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         return self.decode(self.encode(x, train=train))
+
+
+def tail_weights(depth_params) -> tuple:
+    """(w1, b1, w2, b2, w3, b3) of the decoder tail from the params tree."""
+    def wb(name):
+        c = depth_params[name]["Conv_0"]
+        return c["kernel"], c["bias"]
+
+    w1, b1 = wb("iconv4")
+    w2, b2 = wb("feature_conv0")
+    w3, b3 = wb("disp_head0")
+    return w1, b1, w2, b2, w3, b3
+
+
+def make_depth_apply(depth_model: DepthNet, depth_vars,
+                     use_tail_kernel: bool = False):
+    """imgs -> [disparities] callable for inference paths.
+
+    ``use_tail_kernel=True`` routes the full-resolution decoder tail
+    through the fused Pallas kernel (TPU only; num_scales == 1) — the
+    XLA path's lane-starved full-res convs were ~20 ms of the 30 ms
+    med-res depth forward (PERFORMANCE.md round 2)."""
+    if not use_tail_kernel:
+        return lambda imgs: depth_model.apply(depth_vars, imgs)
+
+    from tcsfm.ops.decoder_tail import decoder_tail
+
+    def apply_fn(imgs):
+        skips = depth_model.apply(depth_vars, imgs, method=DepthNet.encode)
+        z = depth_model.apply(depth_vars, skips,
+                              method=DepthNet.decode_phase_tail)
+        disp = decoder_tail(z, *tail_weights(depth_vars["params"]))
+        return [disp.astype(z.dtype)]
+
+    return apply_fn

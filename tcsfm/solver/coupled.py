@@ -109,6 +109,7 @@ def solve_pose_iteratively(
     use_mxu_warp: bool = False,
     mxu_exact: bool = True,
     mxu_band_guard: bool = True,
+    remat: bool = False,
 ):
     """Iterative coupled pose estimation (train_mono.py:41-120).
 
@@ -185,15 +186,29 @@ def solve_pose_iteratively(
     )
 
     stacked_poses = [full_poses]
-    # static unroll: num_iter is a compile-time constant
-    for _ in range(num_iter - 1):
+
+    def iter_body(full_poses, img_rec, valid_mask):
+        """One coupled refinement: pose correction from the residual
+        reconstruction, then re-warp. Factored out so training can
+        ``jax.checkpoint`` it — the backward then recomputes each
+        iteration's pose-net activations and warp instead of storing all
+        ``num_iter`` copies (the remat knob of VERDICT r1 item #9)."""
         new_imgs = jnp.concatenate([rec_target * valid_mask, img_rec], axis=-1)
         full_poses = full_poses + pose_apply(new_imgs)
-        stacked_poses.append(full_poses)
         img_rec, valid_mask, projected_depth, computed_depth = warp(
             rec_source, target_depth_full, source_depth_full, -full_poses,
             K_full,
         )
+        return full_poses, img_rec, valid_mask, projected_depth, computed_depth
+
+    if remat:
+        iter_body = jax.checkpoint(iter_body)
+
+    # static unroll: num_iter is a compile-time constant
+    for _ in range(num_iter - 1):
+        (full_poses, img_rec, valid_mask, projected_depth,
+         computed_depth) = iter_body(full_poses, img_rec, valid_mask)
+        stacked_poses.append(full_poses)
 
     stacked = jnp.stack(stacked_poses, axis=1)                # [2SB, I, 6]
     poses = stacked[:split, -1].reshape(S, b, 6)

@@ -134,6 +134,7 @@ def forward_loss(cfg: Config, depth_model: DepthNet, pose_model: PoseNet,
         cfg.iterations, depths, pose_apply, tgt_aug, src_aug, K_aug,
         use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
         mxu_band_guard=cfg.mxu_band_guard,
+        remat=train and cfg.remat_coupled,
     )
 
     losses = compute_losses(

@@ -98,6 +98,34 @@ class TestTrainStep:
         )
 
 
+class TestRemat:
+    def test_remat_matches_no_remat(self, setup):
+        """jax.checkpoint over the coupled iterations changes memory use,
+        not math: one train step must produce identical losses and
+        parameters either way."""
+        cfg, state0, depth_model, pose_model = setup
+        loader = make_loader()
+        batch = next(iter(loader))
+        batch.pop("_valid", None)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        results = {}
+        for remat in (False, True):
+            step = make_train_step(cfg.replace(remat_coupled=remat),
+                                   depth_model, pose_model)
+            new_state, losses = step(state0, batch)
+            results[remat] = (new_state, losses)
+        lf, lt = results[False][1], results[True][1]
+        for k in lf:
+            np.testing.assert_allclose(float(lf[k]), float(lt[k]),
+                                       rtol=1e-5, err_msg=k)
+        flat_f = jax.tree_util.tree_leaves(results[False][0].params)
+        flat_t = jax.tree_util.tree_leaves(results[True][0].params)
+        for a, b in zip(flat_f, flat_t):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
 class TestDataParallel:
     def test_sharded_training_matches_single_device(self, setup):
         """DP over a 4-device CPU mesh must agree with 1-device training."""
