@@ -63,9 +63,10 @@ def main():
     def forward(params, batch_stats, target_img, source_imgs, K):
         depth_vars = {"params": params["depth"], "batch_stats": batch_stats}
         pose_vars = {"params": params["pose"]}
-        # tail kernel measured slower than the XLA subpixel path so far
-        # (39.6 vs 30.3 ms depth net) — keep the XLA path until the
-        # kernel's staging stores are fixed (PERFORMANCE.md round 2)
+        # decode runs the phase-space tail by default (DepthNet.phase_tail
+        # — exact, measured 30.3 -> 17.0 ms); the experimental Pallas tail
+        # kernel stays off (slower than this XLA formulation,
+        # PERFORMANCE.md round 2)
         depth_apply = make_depth_apply(depth_model, depth_vars,
                                        use_tail_kernel=False)
         pose_apply = lambda imgs: pose_model.apply(pose_vars, imgs)    # noqa

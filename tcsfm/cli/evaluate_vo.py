@@ -50,6 +50,8 @@ def main(argv=None):
     p.add_argument("--no_mxu_warp", dest="use_mxu_warp", action="store_false")
     p.add_argument("--fast_sampler", action="store_true",
                    help="single-pass bf16 MXU sampler variant")
+    p.add_argument("--mixed_sampler", action="store_true",
+                   help="bf16 RGB + f32-exact source depth sampler")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out", type=str, default="")
     p.add_argument("--plot_dir", type=str, default="",
@@ -86,6 +88,8 @@ def main(argv=None):
         args.use_mxu_warp = jax.default_backend() not in ("cpu",)
     if args.fast_sampler:
         cfg = cfg.replace(mxu_exact=False)
+    if args.mixed_sampler:
+        cfg = cfg.replace(mxu_exact="mixed")
     # Config.use_tail_kernel stays opt-in: the fused tail kernel has not
     # yet beaten the XLA subpixel decoder path (PERFORMANCE.md round 2)
 

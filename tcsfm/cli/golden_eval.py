@@ -165,40 +165,46 @@ def run_fast_sampler_ab(args) -> dict:
                 SequenceData.from_npz(npz) if os.path.exists(npz)
                 else SequenceData.from_reference_pkl(d, seq_name))
 
+    variants = [("fast", False), ("mixed", "mixed")]
     out = {"mode": "fast_sampler_ab", "seqs": {}, "pass": True}
     for name, seq in seqs.items():
         res = {}
-        for label, exact in (("exact", True), ("fast", False)):
+        for label, exact in [("exact", True)] + variants:
             ev = VOEvaluator(cfg.replace(mxu_exact=exact), depth_model,
                              pose_model, state.params, state.batch_stats,
                              dnet_rescaling=False, use_mxu_warp=True)
             res[label] = ev.run_sequence(seq, batch_size=args.batch,
                                          verbose=False)
         fe = res["exact"]["fwd_pose_vec"]
-        ff = res["fast"]["fwd_pose_vec"]
         pose_rms = float(np.sqrt(np.mean(fe ** 2)))
-        pose_delta_rel = float(np.max(np.abs(fe - ff)) / max(pose_rms, 1e-12))
         ate_e = float(res["exact"]["errors_gt_scaled"][0])
-        ate_f = float(res["fast"]["errors_gt_scaled"][0])
-        ate_delta_rel = abs(ate_f - ate_e) / max(ate_e, 1e-12)
-        row = {
-            "pose_rms": pose_rms,
-            "pose_delta_rel": pose_delta_rel,
-            "t_ate_exact": ate_e,
-            "t_ate_fast": ate_f,
-            "ate_delta_rel": ate_delta_rel,
-            "gates": {
-                "pose_delta": pose_delta_rel <= args.ab_pose_gate,
-                "ate_delta": ate_delta_rel <= args.ab_ate_gate,
-            },
-        }
-        row["pass"] = all(row["gates"].values())
+        row = {"pose_rms": pose_rms, "t_ate_exact": ate_e, "variants": {}}
+        row_pass = True
+        for label, _ in variants:
+            ff = res[label]["fwd_pose_vec"]
+            pose_delta_rel = float(
+                np.max(np.abs(fe - ff)) / max(pose_rms, 1e-12))
+            ate_f = float(res[label]["errors_gt_scaled"][0])
+            ate_delta_rel = abs(ate_f - ate_e) / max(ate_e, 1e-12)
+            v = {
+                "pose_delta_rel": pose_delta_rel,
+                "t_ate": ate_f,
+                "ate_delta_rel": ate_delta_rel,
+                "gates": {
+                    "pose_delta": pose_delta_rel <= args.ab_pose_gate,
+                    "ate_delta": ate_delta_rel <= args.ab_ate_gate,
+                },
+            }
+            v["pass"] = all(v["gates"].values())
+            row["variants"][label] = v
+            row_pass &= v["pass"]
+            print(f"{name}/{label}: pose delta {pose_delta_rel:.4f} (gate "
+                  f"{args.ab_pose_gate}), t-ATE {ate_e:.3f}->{ate_f:.3f} "
+                  f"({ate_delta_rel:.4f} rel, gate {args.ab_ate_gate}) "
+                  f"-> {'PASS' if v['pass'] else 'FAIL'}")
+        row["pass"] = row_pass
         out["seqs"][name] = row
-        out["pass"] &= row["pass"]
-        print(f"{name}: pose delta {pose_delta_rel:.4f} (gate "
-              f"{args.ab_pose_gate}), t-ATE {ate_e:.3f}->{ate_f:.3f} "
-              f"({ate_delta_rel:.4f} rel, gate {args.ab_ate_gate}) "
-              f"-> {'PASS' if row['pass'] else 'FAIL'}")
+        out["pass"] &= row_pass
     return out
 
 

@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--fast_sampler", action="store_true",
                    help="single-pass bf16 MXU sampler (half the sampler "
                         "matmul cost, ~2e-3 abs image noise)")
+    p.add_argument("--mixed_sampler", action="store_true",
+                   help="bf16 RGB + f32-exact source depth MXU sampler "
+                        "(5/8 of the exact sampler's matmul rows)")
     p.add_argument("--n_devices", type=int, default=0,
                    help="devices for the data mesh (0 = all)")
     p.add_argument("--synthetic", action="store_true",
@@ -144,6 +147,8 @@ def main(argv=None):
         cfg = cfg.replace(use_mxu_warp=True)
     if args.fast_sampler:
         cfg = cfg.replace(mxu_exact=False)
+    if args.mixed_sampler:
+        cfg = cfg.replace(mxu_exact="mixed")
 
     from tcsfm.data.loader import BatchLoader
     from tcsfm.dist.mesh import initialize_distributed, make_mesh, process_info

@@ -83,10 +83,12 @@ class Config:
     # Off by default so CPU tests use the portable XLA path; the training /
     # eval CLIs enable it on TPU backends.
     use_mxu_warp: bool = False
-    # False selects the single-pass bf16 sampler variant (half the MXU
-    # matmul cost, ~2e-3 abs image noise). Exact (hi/lo split, f32-true)
-    # stays the default; flip for inference-heavy workloads after A/B.
-    mxu_exact: bool = True
+    # Sampler value precision: True = all channels f32-exact (hi/lo
+    # split); False = single-pass bf16 (half the MXU matmul cost, ~2e-3
+    # abs image noise); "mixed" = RGB single-pass bf16 (below 8-bit
+    # source quantization) + source depth f32-exact (5/8 of exact's
+    # matmul rows). Exact stays the default pending a real-data A/B.
+    mxu_exact: "bool | str" = True
     # Per-call vertical-band coverage check with auto-fallback to the XLA
     # sampler (lax.cond) — keeps extreme warps from silently sampling zeros.
     mxu_band_guard: bool = True

@@ -104,7 +104,7 @@ def _project_with_mask(cam_coords, K, pose_mat, h, w, zeros_padding=True):
 
 def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
                       pose: jax.Array, K: jax.Array, band: int = 32,
-                      exact: bool = True, guard=True,
+                      exact=True, guard=True, sample_depth: bool = True,
                       interpret: bool = False):
     """inverse_warp2 on the MXU sampling kernel (differentiable).
 
@@ -113,6 +113,18 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     faster than the XLA gather path on TPU; gradients w.r.t. the sampled
     image/depth and the coordinates flow through the custom-VJP Pallas
     backward kernels (tcsfm/ops/warp_mxu_grad.py).
+
+    ``exact``: True → all 4 packed channels f32-exact (hi/lo split);
+    False → single bf16 pass; "mixed" → RGB in one bf16 pass (error below
+    the 8-bit source quantization) while the sampled source DEPTH stays
+    f32-exact (it feeds the depth-consistency term and the solver's
+    projected-depth comparison, where bf16's 0.4% relative error is NOT
+    below the data's noise floor). Mixed costs 5/8 of exact's matmul rows.
+
+    ``sample_depth=False`` skips resampling the source depth entirely
+    (the packed call becomes 3-channel; ``projected_depth`` returns None)
+    — the right mode for pure pose inference, where only the warped image
+    and valid mask are consumed. 3/4 of the matmul rows + DMA traffic.
 
     The banded kernel is exact only while a pixel's vertical source taps
     fall inside its 8-output-row group's ``band``-row DMA window. The
@@ -140,7 +152,14 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     pose_mat = pose_vec2mat(pose[..., :6])
     coords, computed_depth, valid = _project_with_mask(cam, K, pose_mat, h, w)
 
-    packed = jnp.concatenate([img, ref_depth], axis=-1)     # [B, H, W, 4]
+    if sample_depth:
+        packed = jnp.concatenate([img, ref_depth], axis=-1)  # [B, H, W, 4]
+        if exact == "mixed":
+            exact = (3,)                 # depth channel only (see docstring)
+    else:
+        packed = img                                         # [B, H, W, 3]
+        if exact == "mixed":
+            exact = False                # no depth channel → RGB bf16 pass
     if guard == "fallback":
         bv, _ = band_geometry(h, w, band)
         ok = jnp.all(vertical_band_ok(coords, h, bv))
@@ -158,7 +177,7 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
                 band_coverage_mask(coords, h, bv))
             valid = valid & in_band
     warped_img = sampled[..., :3]
-    projected_depth = sampled[..., 3:4]
+    projected_depth = sampled[..., 3:4] if sample_depth else None
     valid_mask = valid[..., None].astype(img.dtype)
     return warped_img, valid_mask, projected_depth, computed_depth[..., None]
 

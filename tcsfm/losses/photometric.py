@@ -18,6 +18,7 @@ control flow, so the whole stack lives under one jit.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -107,7 +108,11 @@ def pairwise_loss(cfg: Config, tgt_img, ref_img, tgt_depth, ref_depth, pose, K):
     caller. Returns (l_reprojection, l_depth, diff_img [B,H,W,1],
     valid_mask [B,H,W,1]).
     """
-    warp = inverse_warp2_mxu if cfg.use_mxu_warp else inverse_warp2
+    if cfg.use_mxu_warp:
+        warp = functools.partial(inverse_warp2_mxu, exact=cfg.mxu_exact,
+                                 guard=cfg.mxu_band_guard)
+    else:
+        warp = inverse_warp2
     warped, valid_mask, projected_depth, computed_depth = warp(
         ref_img, tgt_depth, ref_depth, pose, K
     )
@@ -182,7 +187,11 @@ def compute_losses(cfg: Config,
     S = source_imgs.shape[0]
     b, h, w, _ = target_img.shape
     num_scales = cfg.num_scales
-    warp = inverse_warp2_mxu if cfg.use_mxu_warp else inverse_warp2
+    if cfg.use_mxu_warp:
+        warp = functools.partial(inverse_warp2_mxu, exact=cfg.mxu_exact,
+                                 guard=cfg.mxu_band_guard)
+    else:
+        warp = inverse_warp2
 
     losses = {
         "l_reconstruct_inverse": 0.0,

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tcsfm.models.layers import (ReflConv, SubpixelUpConv, resize_nearest,
+from tcsfm.models.layers import (DualReflConv, ReflConv, SubpixelUpConv,
+                                 phase_to_space, resize_nearest,
                                  upsample2x_nearest)
 from tcsfm.models.resnet import ResNet18Encoder
 
@@ -39,6 +40,12 @@ class DepthNet(nn.Module):
     # False keeps the literal upsample->pad->conv formulation for parity
     # debugging; both paths share checkpoints.
     subpixel: bool = True
+    # Evaluate the full-resolution decoder tail (iconv4 → feature conv →
+    # disp head) entirely in phase space on the half-res grid — exact
+    # (layers._DualConv3x3), same parameter tree, and avoids XLA's
+    # lane-starved full-res 32/8/1-channel convs. num_scales==1 +
+    # subpixel only; ignored otherwise.
+    phase_tail: bool = True
 
     def setup(self):
         self.encoder = ResNet18Encoder(dtype=self.dtype,
@@ -49,16 +56,18 @@ class DepthNet(nn.Module):
             up_cls(planes2[i + 1], dtype=self.dtype, name=f"upconv{i}")
             for i in range(len(UPCONV_PLANES))
         ]
+        # DualReflConv == ReflConv for normal inputs (same parameter tree);
+        # the tail instances additionally accept phase-form tensors
         self.iconvs = [
-            ReflConv(UPCONV_PLANES[i], dtype=self.dtype, name=f"iconv{i}")
+            DualReflConv(UPCONV_PLANES[i], dtype=self.dtype, name=f"iconv{i}")
             for i in range(len(UPCONV_PLANES))
         ]
         self.feature_convs = [
-            ReflConv(8, dtype=self.dtype, name=f"feature_conv{i}")
+            DualReflConv(8, dtype=self.dtype, name=f"feature_conv{i}")
             for i in range(self.num_scales)
         ]
         self.disp_heads = [
-            ReflConv(1, dtype=self.dtype, name=f"disp_head{i}")
+            DualReflConv(1, dtype=self.dtype, name=f"disp_head{i}")
             for i in range(self.num_scales)
         ]
 
@@ -86,6 +95,14 @@ class DepthNet(nn.Module):
             up = upconv(i, out)
             up = up + skips[-(i + 2)]
             out = nn.elu(self.iconvs[i](up))
+
+        if self.subpixel and self.phase_tail and self.num_scales == 1:
+            # whole tail on the half-res grid (exact; see _DualConv3x3)
+            z = self.upconvs[-1](out, phase_form=True)
+            x = nn.elu(self.iconvs[-1](nn.elu(z), phase_input=True))
+            f = nn.elu(self.feature_convs[0](x, phase_input=True))
+            d = nn.sigmoid(self.disp_heads[0](f, phase_input=True))
+            return [phase_to_space(d)]
 
         depth_features.append(out)
         up = upconv(len(self.iconvs) - 1, out)

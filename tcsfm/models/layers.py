@@ -98,6 +98,92 @@ class _PhaseConv3x3(nn.Module):
             n, 2 * h, 2 * w, self.features)
 
 
+class _DualConv3x3(nn.Module):
+    """One [3, 3, Cin, Cout] reflect-conv parameter set, evaluated either
+    literally (``phase_input=False`` — identical to the conv inside
+    ``ReflConv``) or as its EXACT phase-space equivalent on a 4-phase
+    half-resolution tensor [N, Hl, Wl, 4*Cin] (phase-major channels,
+    ``(2*pi + pj)*Cin + c`` — the `_PhaseConv3x3` output layout).
+
+    Phase-space form: full-res output pixel u = 2i + q reads full-res rows
+    u + dy = half rows i + (q+dy)//2 at phase (q+dy) % 2, so the 3x3
+    full-res conv becomes a 3x3 half-res conv with a DENSE phase-mixing
+    kernel [3, 3, 4*Cin, 4*Cout] (each (in-phase, out-phase) pair holds
+    one original tap or zero). 4x the MACs of the literal form, but the
+    half-res positions are 1/4 as many and the channel dims are 4x wider
+    — full-res 32/8/1-channel convs were measured lane-starved at ~3% MXU
+    in XLA, while this shape tiles cleanly (PERFORMANCE.md round 2).
+    Reflect padding of every full-res intermediate ≡ edge replication of
+    its phase tensor (the ±1-tap argument in ops/decoder_tail.py).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = kaiming_out
+
+    @nn.compact
+    def __call__(self, x, phase_input: bool = False):
+        cin = x.shape[-1] // (4 if phase_input else 1)
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        if not phase_input:
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+            y = jax.lax.conv_general_dilated(
+                xp.astype(self.dtype), k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(self.dtype)
+
+        kp = jnp.zeros((3, 3, 4 * cin, 4 * self.features), self.dtype)
+        for qi in range(2):
+            for qj in range(2):
+                q = 2 * qi + qj
+                for dy in (-1, 0, 1):
+                    di = (qi + dy) // 2 + 1
+                    pi = (qi + dy) % 2
+                    for dx in (-1, 0, 1):
+                        dj = (qj + dx) // 2 + 1
+                        pj = (qj + dx) % 2
+                        p = 2 * pi + pj
+                        # (di, dj, p) is unique per (q, dy, dx): set, not add
+                        kp = kp.at[di, dj, p * cin:(p + 1) * cin,
+                                   q * self.features:
+                                   (q + 1) * self.features].set(
+                                       k[dy + 1, dx + 1])
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), kp, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + jnp.tile(bias.astype(self.dtype), 4)
+
+
+class DualReflConv(nn.Module):
+    """Drop-in replacement for a 3x3 ``ReflConv`` (identical parameter
+    tree ``<name>/Conv_0/{kernel, bias}`` and identical output at
+    ``phase_input=False``) that can also consume/produce phase-form
+    tensors — lets the decoder tail run entirely on the half-res grid."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = kaiming_out
+
+    @nn.compact
+    def __call__(self, x, phase_input: bool = False):
+        return _DualConv3x3(self.features, dtype=self.dtype,
+                            kernel_init=self.kernel_init,
+                            name="Conv_0")(x, phase_input=phase_input)
+
+
+def phase_to_space(y: jax.Array) -> jax.Array:
+    """[N, Hl, Wl, 4*C] phase-major ((2*pi + pj)*C + c) → [N, 2Hl, 2Wl, C]."""
+    n, hl, wl, c4 = y.shape
+    c = c4 // 4
+    y = y.reshape(n, hl, wl, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * hl, 2 * wl, c)
+
+
 class SubpixelUpConv(nn.Module):
     """Drop-in replacement for ``upsample2x_nearest`` + ``ReflConv`` with
     an identical parameter tree (``<name>/Conv_0/{kernel, bias}``), so

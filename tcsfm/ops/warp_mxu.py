@@ -44,7 +44,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
-                 exact: bool = True):
+                 exact_ch: tuple = ()):
     """Build the 8-output-rows-per-step sampling kernel.
 
     base_ref: [B*H/8] int32 (scalar prefetch) — band start per row group.
@@ -52,8 +52,11 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
     img_ref: [B, C, H, Wp] in ANY/HBM — source image, channel-major.
     out_ref: [1, C, 8, Wp] output block.
     s_scratch: [C*BV, Wp] VMEM — the DMA'd source band, channel-major.
+    exact_ch: channel indices sampled f32-exact (hi/lo split); the rest
+    sample in one bf16 pass (~2e-3 abs — below 8-bit image quantization).
     """
     G = ROWS_PER_GROUP
+    exact_ch = tuple(sorted(exact_ch))
 
     def kernel(base_ref, x_ref, y_ref, img_ref, out_ref, s_scratch, sem):
         b = pl.program_id(0)
@@ -83,17 +86,17 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
         #      tent(x - c) = eq(c, ⌊x⌋)·(1-f) + eq(c, ⌊x⌋+1)·f,  f = x-⌊x⌋
         #    The matmul operands become exact 0/1 matrices (bf16-exact);
         #    the fractional weights apply as a cheap f32 column scale AFTER
-        #    the matmul. hi/lo-splitting S once per group keeps full f32
-        #    accuracy with plain bf16 MXU passes.
+        #    the matmul. Channels in ``exact_ch`` append an S_lo residual
+        #    block so two plain-bf16 MXU passes reconstruct full f32
+        #    accuracy; the rest sample from S_hi alone.
         S = s_scratch[:, :]
         S_hi = S.astype(jnp.bfloat16)
         M = C * BV
-        if exact:
+        if exact_ch:
             S_lo = (S - S_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            S2 = jnp.concatenate([S_hi, S_lo], axis=0)      # [2M, Wp]
+            lo_blocks = [S_lo[ch * BV:(ch + 1) * BV, :] for ch in exact_ch]
+            S2 = jnp.concatenate([S_hi] + lo_blocks, axis=0)
         else:
-            # fast mode: bf16 image values (≤2e-3 abs error — below the
-            # 8-bit quantization of real image data)
             S2 = S_hi
 
         for r in range(G):
@@ -107,22 +110,21 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
             A1 = (ci == xi_i + 1).astype(jnp.bfloat16)      # c = ⌊x⌋+1 tap
             AA = jnp.concatenate([A0, A1], axis=1)          # [Wp, 2Wp]
 
-            # 3. MXU: both taps (and both S halves when exact) in ONE matmul
+            # 3. MXU: both taps (and every S_lo block) in ONE matmul
             R2 = jnp.dot(S2, AA, preferred_element_type=jnp.float32)
-            if exact:
-                R = (
-                    (R2[0:M, 0:Wp] + R2[M:2 * M, 0:Wp]) * (1.0 - f)
-                    + (R2[0:M, Wp:] + R2[M:2 * M, Wp:]) * f
-                )                                           # [M, Wp] exact
-            else:
-                R = R2[0:M, 0:Wp] * (1.0 - f) + R2[0:M, Wp:] * f
 
             # 4. vertical tents ty[v, j] = max(0, 1 - |y_j - (base + v)|)
             ty = jnp.maximum(0.0, 1.0 - jnp.abs(y - (v_ids + basef)))
 
             for ch in range(C):
-                row = jnp.sum(ty * R[ch * BV:(ch + 1) * BV, :], axis=0,
-                              keepdims=True)                # [1, Wp]
+                Rc0 = R2[ch * BV:(ch + 1) * BV, 0:Wp]
+                Rc1 = R2[ch * BV:(ch + 1) * BV, Wp:]
+                if ch in exact_ch:
+                    k = M + exact_ch.index(ch) * BV
+                    Rc0 = Rc0 + R2[k:k + BV, 0:Wp]
+                    Rc1 = Rc1 + R2[k:k + BV, Wp:]
+                Rc = Rc0 * (1.0 - f) + Rc1 * f              # [BV, Wp]
+                row = jnp.sum(ty * Rc, axis=0, keepdims=True)
                 out_ref[0, ch, r, :] = row[0, :].astype(out_dtype)
 
     return kernel
@@ -210,9 +212,22 @@ def _prep_layout(img: jax.Array, coords: jax.Array, BV: int, Wp: int):
     return img_chw, x_p, y_p, base
 
 
+def _norm_exact(exact, C: int) -> tuple:
+    """Normalize the ``exact`` knob to a tuple of hi/lo-split channels.
+
+    True → all channels; False → none (single bf16 pass); a tuple of
+    channel indices → mixed precision (those channels f32-exact).
+    """
+    if exact is True:
+        return tuple(range(C))
+    if exact is False:
+        return ()
+    return tuple(sorted(int(c) for c in exact))
+
+
 @functools.partial(jax.jit, static_argnames=("band", "interpret", "exact"))
 def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
-                    interpret: bool = False, exact: bool = True) -> jax.Array:
+                    interpret: bool = False, exact=True) -> jax.Array:
     """Bilinear sampling with zeros padding, align_corners=False — MXU path.
 
     Args:
@@ -220,8 +235,10 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
       coords: [B, H, W, 2] normalized (x, y) in the reference convention
               (2*(u/(W-1)) - 1, OOB pushed to 2.0).
       band:   vertical band size (source rows per 8-row output group).
-      exact:  f32-accurate values (hi/lo split); False → single bf16 pass
-              on the image values (~2e-3 abs, half the matmul cost).
+      exact:  f32-accurate values (hi/lo split): True = all channels,
+              False = none (single bf16 pass, ~2e-3 abs, half the matmul
+              cost), or a tuple of channel indices for mixed precision
+              (only those channels pay the residual-matmul rows).
 
     Returns [B, H, W, C]; float32.
     """
@@ -230,7 +247,8 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
     img_chw, x_p, y_p, base = _prep_layout(img, coords, BV, Wp)
 
     G = ROWS_PER_GROUP
-    kernel = _make_kernel(C, H, Wp, BV, jnp.float32, exact=exact)
+    kernel = _make_kernel(C, H, Wp, BV, jnp.float32,
+                          exact_ch=_norm_exact(exact, C))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H // G),

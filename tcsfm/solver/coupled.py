@@ -134,7 +134,9 @@ def solve_pose_iteratively(
                    pose_perturbation_experiment.py:146-151.
       use_mxu_warp: route warps through the Pallas MXU sampler.
       mxu_exact:   False selects the single-pass bf16 sampler (half the
-                   matmul cost, ~2e-3 abs image noise) — inference-grade.
+                   matmul cost, ~2e-3 abs image noise); "mixed" keeps the
+                   sampled source depth f32-exact while RGB goes bf16
+                   (5/8 of exact's matmul rows) — see inverse_warp2_mxu.
       mxu_band_guard: True folds the banded kernel's per-pixel vertical
                    coverage into the warp valid mask (out-of-band pixels
                    are treated as out-of-view — no silent-zeros path
@@ -166,8 +168,12 @@ def solve_pose_iteratively(
     source_depth_full = jnp.concatenate([src_depths_flat, tgt_depths_flat], 0)
 
     if use_mxu_warp:
+        # pure pose inference consumes only the warped image + valid mask:
+        # skip resampling the source depth (3/4 of the kernel's matmul
+        # rows and DMA). Error products need the sampled depth.
         warp = functools.partial(inverse_warp2_mxu, exact=mxu_exact,
-                                 guard=mxu_band_guard)
+                                 guard=mxu_band_guard,
+                                 sample_depth=return_errors)
     else:
         warp = inverse_warp2
 

@@ -67,6 +67,18 @@ class TestDepthNet:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4)
 
+    def test_phase_tail_matches_fullres_tail(self):
+        """The phase-space decoder tail (num_scales==1 hot path) is exact
+        vs the full-resolution formulation, sharing one parameter tree."""
+        x = jnp.asarray(_rand((2, H, W, 3), seed=7))
+        phase = DepthNet(num_scales=1, phase_tail=True)
+        full = DepthNet(num_scales=1, phase_tail=False)
+        variables = phase.init(jax.random.PRNGKey(1), x)
+        d_phase = phase.apply(variables, x)
+        d_full = full.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(d_phase[0]),
+                                   np.asarray(d_full[0]), atol=5e-5)
+
     def test_batchnorm_stats_update(self):
         model = DepthNet(num_scales=1)
         x = jnp.asarray(_rand((B, H, W, 3), seed=2))

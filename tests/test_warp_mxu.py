@@ -71,6 +71,27 @@ class TestMXUGridSample:
         out = grid_sample_mxu(img, coords, band=8, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
 
+    def test_mixed_precision_channels(self):
+        """exact=(3,): channel 3 is f32-exact, RGB within bf16 rounding."""
+        img = _img(6)
+        rng = np.random.RandomState(7)
+        coords = _identity_coords()
+        coords += (0.02 * rng.randn(B, H, W, 2) * [1.0, 0.3]).astype(
+            np.float32)
+        out = grid_sample_mxu(img, jnp.asarray(coords), band=16,
+                              interpret=True, exact=(3,))
+        ref = grid_sample(img, jnp.asarray(coords))
+        # hi/lo-split channel: exact
+        np.testing.assert_allclose(np.asarray(out)[..., 3],
+                                   np.asarray(ref)[..., 3], atol=1e-5)
+        # bf16 channels: within single-pass rounding, but NOT f32-exact
+        np.testing.assert_allclose(np.asarray(out)[..., :3],
+                                   np.asarray(ref)[..., :3], atol=6e-3)
+        fast = grid_sample_mxu(img, jnp.asarray(coords), band=16,
+                               interpret=True, exact=False)
+        np.testing.assert_allclose(np.asarray(out)[..., :3],
+                                   np.asarray(fast)[..., :3], atol=1e-6)
+
     def test_band_diagnostic(self):
         coords = jnp.asarray(_identity_coords())
         ok = vertical_band_ok(coords, H, band=16)
@@ -152,6 +173,31 @@ class TestBandGuard:
         # computed depth doesn't pass through the sampler
         np.testing.assert_allclose(np.asarray(cd_m), np.asarray(cd_x),
                                    atol=1e-6)
+
+    def test_sample_depth_false_matches_image_path(self):
+        """sample_depth=False (pure-pose inference): identical warped image
+        + valid mask, projected_depth is None, computed depth unchanged."""
+        from tcsfm.geom.warp import inverse_warp2_mxu
+
+        img, depth, ref_depth, pose, K = self._warp_inputs(rz=0.0)
+        full = inverse_warp2_mxu(img, depth, ref_depth, -pose, K, band=16,
+                                 interpret=True)
+        lite = inverse_warp2_mxu(img, depth, ref_depth, -pose, K, band=16,
+                                 sample_depth=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(lite[0]), np.asarray(full[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lite[1]), np.asarray(full[1]),
+                                   atol=0)
+        assert lite[2] is None
+        np.testing.assert_allclose(np.asarray(lite[3]), np.asarray(full[3]),
+                                   atol=0)
+        # "mixed" degrades to the single-pass sampler without the depth
+        # channel — still identical image/mask up to bf16 rounding
+        mixed = inverse_warp2_mxu(img, depth, ref_depth, -pose, K, band=16,
+                                  exact="mixed", sample_depth=False,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(mixed[0]), np.asarray(full[0]),
+                                   atol=6e-3)
 
     def test_guard_pass_through_on_smooth_warp(self):
         """Small warp: guard stays on the MXU path (parity with unguarded)."""
