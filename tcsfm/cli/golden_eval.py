@@ -335,6 +335,85 @@ def run_synthetic(args) -> dict:
     return out
 
 
+def run_train_sampler_ab(args) -> dict:
+    """Train twice on identical synthetic data — exact vs mixed MXU
+    sampler — and gate the mixed-TRAINED model's final loss and gt-scaled
+    t-ATE against the exact-trained one (TPU only).
+
+    This is the gate that must pass before ``mxu_exact="mixed"`` can be
+    recommended for training: the fast_sampler_ab above only bounds the
+    inference-path effect; here the bf16 RGB sampling noise also enters
+    the photometric loss and every gradient.
+    """
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        raise SystemExit("train_sampler_ab needs a TPU backend")
+
+    import jax.numpy as jnp
+
+    from tcsfm.config import Config
+    from tcsfm.data.dataset import SfMWindowDataset
+    from tcsfm.data.loader import BatchLoader
+    from tcsfm.data.synthetic import make_synthetic_sequence
+    from tcsfm.data.transforms import WindowTransform
+    from tcsfm.eval.vo import VOEvaluator
+    from tcsfm.train.trainer import Trainer, create_train_state
+
+    h, w = args.synthetic_size
+    train_seqs = [make_synthetic_sequence(args.synthetic_frames, (h, w),
+                                          seed=s) for s in (0, 1)]
+    test_seq = make_synthetic_sequence(max(16, args.synthetic_frames), (h, w),
+                                       seed=11)
+    ds = SfMWindowDataset(train_seqs, seq_len=3,
+                          transform=WindowTransform(jitter=False,
+                                                    flip_prob=None))
+
+    results = {}
+    for label, ex in (("exact", True), ("mixed", "mixed")):
+        cfg = Config(iterations=2, img_resolution="low", minibatch=4,
+                     lr=args.lr, compute_dtype="bfloat16", num_scales=1,
+                     use_mxu_warp=True, mxu_exact=ex)
+        state, depth_model, pose_model = create_train_state(
+            cfg, jax.random.PRNGKey(0), steps_per_epoch=32)
+        trainer = Trainer(cfg, state, depth_model, pose_model)
+        losses = []
+        for ep in range(args.train_epochs):
+            loader = BatchLoader(ds, cfg.minibatch, shuffle=True, seed=ep)
+            stats = trainer.run_epoch(loader, ep, "train", verbose=False)
+            losses.append(float(stats["total"]))
+            print(f"{label} epoch {ep}: loss {stats['total']:.5f}")
+        # evaluate BOTH with the exact sampler: isolates the training
+        # effect from the inference-path one
+        ev = VOEvaluator(cfg.replace(mxu_exact=True), depth_model,
+                         pose_model, trainer.state.params,
+                         trainer.state.batch_stats, dnet_rescaling=False,
+                         use_mxu_warp=True)
+        results[label] = {"losses": losses, "ate": _gt_scaled_ate(ev, test_seq)}
+
+    le, lm = results["exact"]["losses"][-1], results["mixed"]["losses"][-1]
+    ae, am = results["exact"]["ate"], results["mixed"]["ate"]
+    loss_delta_rel = abs(lm - le) / max(abs(le), 1e-12)
+    ate_ratio = am / max(ae, 1e-12)
+    out = {
+        "mode": "train_sampler_ab",
+        "exact": results["exact"],
+        "mixed": results["mixed"],
+        "loss_delta_rel": loss_delta_rel,
+        "ate_ratio": ate_ratio,
+        "gates": {
+            "final_loss": loss_delta_rel <= args.train_ab_loss_gate,
+            "ate": ate_ratio <= args.train_ab_ate_gate,
+        },
+    }
+    out["pass"] = all(out["gates"].values())
+    print(f"train AB: loss {le:.5f} vs {lm:.5f} ({loss_delta_rel:.4f} rel, "
+          f"gate {args.train_ab_loss_gate}); t-ATE {ae:.3f} vs {am:.3f} "
+          f"(ratio {ate_ratio:.3f}, gate {args.train_ab_ate_gate}) -> "
+          f"{'PASS' if out['pass'] else 'FAIL'}")
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_dir", type=str, default="")
@@ -362,9 +441,19 @@ def main(argv=None):
                         "sampler")
     p.add_argument("--ab_ate_gate", type=float, default=0.05,
                    help="max relative gt-scaled t-ATE delta allowed")
+    p.add_argument("--train_sampler_ab", action="store_true",
+                   help="train exact vs mixed sampler on synthetic data "
+                        "and gate the mixed-trained model (TPU only)")
+    p.add_argument("--train_ab_loss_gate", type=float, default=0.05,
+                   help="max relative final-train-loss delta (mixed vs "
+                        "exact)")
+    p.add_argument("--train_ab_ate_gate", type=float, default=1.15,
+                   help="max mixed/exact trained t-ATE ratio")
     args = p.parse_args(argv)
 
-    if args.fast_sampler_ab:
+    if args.train_sampler_ab:
+        out = run_train_sampler_ab(args)
+    elif args.fast_sampler_ab:
         out = run_fast_sampler_ab(args)
     else:
         out = run_synthetic(args) if args.synthetic else run_real(args)
