@@ -145,7 +145,8 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
         remain marked valid — only for benchmarking the raw kernel).
     """
     from tcsfm.ops.warp_mxu import (band_coverage_mask, band_geometry,
-                                    grid_sample_mxu_diff, vertical_band_ok)
+                                    grid_sample_mxu_diff, horizontal_band_ok,
+                                    vertical_band_ok)
 
     b, h, w, _ = img.shape
     cam = backproject(depth, K)
@@ -161,8 +162,9 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
         if exact == "mixed":
             exact = False                # no depth channel → RGB bf16 pass
     if guard == "fallback":
-        bv, _ = band_geometry(h, w, band)
-        ok = jnp.all(vertical_band_ok(coords, h, bv))
+        bv, wp = band_geometry(h, w, band)
+        ok = (jnp.all(vertical_band_ok(coords, h, bv))
+              & jnp.all(horizontal_band_ok(coords, w, wp)))
         sampled = lax.cond(
             ok,
             lambda p, c: grid_sample_mxu_diff(p, c, band, interpret, exact),
@@ -172,9 +174,9 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     else:
         sampled = grid_sample_mxu_diff(packed, coords, band, interpret, exact)
         if guard:                                           # "mask" / True
-            bv, _ = band_geometry(h, w, band)
+            bv, wp = band_geometry(h, w, band)
             in_band = lax.stop_gradient(
-                band_coverage_mask(coords, h, bv))
+                band_coverage_mask(coords, h, bv, W=w, Wp=wp))
             valid = valid & in_band
     warped_img = sampled[..., :3]
     projected_depth = sampled[..., 3:4] if sample_depth else None

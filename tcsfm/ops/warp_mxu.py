@@ -43,27 +43,47 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+LANE = 128
+
+
 def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
                  exact_ch: tuple = ()):
     """Build the 8-output-rows-per-step sampling kernel.
 
-    base_ref: [B*H/8] int32 (scalar prefetch) — band start per row group.
+    base_ref: [B*H/8] int32 (scalar prefetch) — vertical band start per
+    row group. cb_ref: [B*H/8, T] int32 (scalar prefetch) — horizontal
+    source-column chunk base per (group, 128-col output tile),
+    128-aligned.
     x_ref, y_ref: [1, 8, Wp] f32 blocks — source coords for the group.
     img_ref: [B, C, H, Wp] in ANY/HBM — source image, channel-major.
     out_ref: [1, C, 8, Wp] output block.
     s_scratch: [C*BV, Wp] VMEM — the DMA'd source band, channel-major.
+    racc: [R, G*2*LANE] f32 VMEM — per-tile matmul accumulator; all 8
+    rows' (row, tap) selector columns are batched into one matmul N dim.
     exact_ch: channel indices sampled f32-exact (hi/lo split); the rest
     sample in one bf16 pass (~2e-3 abs — below 8-bit image quantization).
+
+    Column banding: for each 128-wide tile of output columns, the source
+    columns that its horizontal tents can touch span ≤ ~128 px of
+    parallax in practice, so only the (at most) 2 source chunks covering
+    [cb, cb+2*LANE) enter the matmul — the selector matrices for every
+    other chunk are identically zero. The static chunk loop + a scalar
+    ``pl.when`` keeps all slices lane-aligned; out-of-band pixels are
+    flagged by ``band_coverage_mask`` exactly like the vertical band.
     """
     G = ROWS_PER_GROUP
+    T = Wp // LANE
+    NCHUNK = min(2, T)           # chunks that [cb, cb+CB) spans
     exact_ch = tuple(sorted(exact_ch))
 
-    def kernel(base_ref, x_ref, y_ref, img_ref, out_ref, s_scratch, sem):
+    def kernel(base_ref, cb_ref, x_ref, y_ref, img_ref, out_ref, s_scratch,
+               racc, sem):
         b = pl.program_id(0)
         g = pl.program_id(1)
+        idx = b * (H // G) + g
         # bases are pre-rounded to sublane multiples; hint the compiler so
         # the strided DMA slice is provably tile-aligned
-        base = pl.multiple_of(base_ref[b * (H // G) + g], 8)
+        base = pl.multiple_of(base_ref[idx], 8)
 
         # 1. DMA the vertical band, one strided copy per channel:
         #    img[b, ch, base:base+BV, :] -> s_scratch[ch*BV:(ch+1)*BV, :]
@@ -78,9 +98,9 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
 
         basef = base.astype(jnp.float32)
         # Mosaic iota must be integer-typed; cast to f32 where needed
-        v_ids = lax.broadcasted_iota(jnp.int32, (BV, Wp), 0).astype(jnp.float32)
-        ci = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0)   # [Wp(c), Wp(j)]
-        col = lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+        v_ids = lax.broadcasted_iota(jnp.int32, (BV, LANE), 0).astype(
+            jnp.float32)
+        ci = lax.broadcasted_iota(jnp.int32, (LANE, G * 2 * LANE), 0)
 
         # 2. Decompose the horizontal tent into BINARY selection:
         #      tent(x - c) = eq(c, ⌊x⌋)·(1-f) + eq(c, ⌊x⌋+1)·f,  f = x-⌊x⌋
@@ -99,33 +119,55 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
         else:
             S2 = S_hi
 
-        for r in range(G):
-            x = x_ref[0, r, :].reshape(1, Wp)              # [1, Wp(j)]
-            y = y_ref[0, r, :].reshape(1, Wp)
+        for t in range(T):
+            # all 8 rows' tap columns batched into the matmul N dim:
+            # xi_flat [1, G*2*LANE] = (row, tap) pairs of ⌊x⌋ values
+            pieces = []
+            for r in range(G):
+                x_r = x_ref[0, r, t * LANE:(t + 1) * LANE].reshape(1, LANE)
+                xi_r = jnp.floor(x_r).astype(jnp.int32)
+                pieces.append(xi_r)
+                pieces.append(xi_r + 1)
+            xi_flat = jnp.concatenate(pieces, axis=1)       # [1, G*2*LANE]
 
-            xi = jnp.floor(x)
-            f = x - xi                                      # [1, Wp] f32
-            xi_i = xi.astype(jnp.int32)
-            A0 = (ci == xi_i).astype(jnp.bfloat16)          # c = ⌊x⌋ tap
-            A1 = (ci == xi_i + 1).astype(jnp.bfloat16)      # c = ⌊x⌋+1 tap
-            AA = jnp.concatenate([A0, A1], axis=1)          # [Wp, 2Wp]
+            cb0 = cb_ref[idx, t] // LANE                    # first chunk id
+            racc[...] = jnp.zeros_like(racc)
 
-            # 3. MXU: both taps (and every S_lo block) in ONE matmul
-            R2 = jnp.dot(S2, AA, preferred_element_type=jnp.float32)
+            def chunk_body(c):
+                cig = ci + c * LANE                         # global col ids
+                AA = (cig == xi_flat).astype(jnp.bfloat16)  # [LANE, G*2*L]
+                racc[...] += jnp.dot(
+                    S2[:, c * LANE:(c + 1) * LANE], AA,
+                    preferred_element_type=jnp.float32)
 
-            # 4. vertical tents ty[v, j] = max(0, 1 - |y_j - (base + v)|)
-            ty = jnp.maximum(0.0, 1.0 - jnp.abs(y - (v_ids + basef)))
+            for c in range(T):
+                if T > NCHUNK:
+                    # static chunk loop + scalar guard: only the (≤2)
+                    # chunks under [cb, cb+2*LANE) run their matmul
+                    pl.when((c == cb0) | (c == cb0 + 1))(
+                        functools.partial(chunk_body, c))
+                else:
+                    chunk_body(c)
 
-            for ch in range(C):
-                Rc0 = R2[ch * BV:(ch + 1) * BV, 0:Wp]
-                Rc1 = R2[ch * BV:(ch + 1) * BV, Wp:]
-                if ch in exact_ch:
-                    k = M + exact_ch.index(ch) * BV
-                    Rc0 = Rc0 + R2[k:k + BV, 0:Wp]
-                    Rc1 = Rc1 + R2[k:k + BV, Wp:]
-                Rc = Rc0 * (1.0 - f) + Rc1 * f              # [BV, Wp]
-                row = jnp.sum(ty * Rc, axis=0, keepdims=True)
-                out_ref[0, ch, r, :] = row[0, :].astype(out_dtype)
+            R2 = racc[...]
+            for r in range(G):
+                x = x_ref[0, r, t * LANE:(t + 1) * LANE].reshape(1, LANE)
+                f = x - jnp.floor(x)                        # [1, LANE] f32
+                y = y_ref[0, r, t * LANE:(t + 1) * LANE].reshape(1, LANE)
+                ty_t = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(y - (v_ids + basef)))  # [BV, LANE]
+                o0, o1 = 2 * r * LANE, (2 * r + 1) * LANE
+                for ch in range(C):
+                    Rc0 = R2[ch * BV:(ch + 1) * BV, o0:o0 + LANE]
+                    Rc1 = R2[ch * BV:(ch + 1) * BV, o1:o1 + LANE]
+                    if ch in exact_ch:
+                        k = M + exact_ch.index(ch) * BV
+                        Rc0 = Rc0 + R2[k:k + BV, o0:o0 + LANE]
+                        Rc1 = Rc1 + R2[k:k + BV, o1:o1 + LANE]
+                    Rc = Rc0 * (1.0 - f) + Rc1 * f          # [BV, LANE]
+                    row = jnp.sum(ty_t * Rc, axis=0, keepdims=True)
+                    out_ref[0, ch, r, t * LANE:(t + 1) * LANE] = (
+                        row[0, :].astype(out_dtype))
 
     return kernel
 
@@ -145,12 +187,34 @@ def _band_bases(y: jax.Array, H: int, BV: int) -> jax.Array:
     return (base // 8) * 8
 
 
-def band_coverage_mask(coords: jax.Array, H: int, band: int) -> jax.Array:
-    """Per-pixel flag: both vertical taps lie inside the band the pixel's
-    8-row group will DMA — i.e. the banded kernel's result for this pixel
+def _col_bases(x: jax.Array, W: int, Wp: int) -> jax.Array:
+    """Horizontal chunk base per (8-row group, 128-col output tile):
+    128-aligned start of the (≤ 2·LANE)-wide source-column window that
+    the tile's horizontal tents read. x: [B, H, Wp] pixel coords
+    (padded output columns hold far values). Returns [B·H/G, T] int32."""
+    B, Hh, Wpx = x.shape
+    G = ROWS_PER_GROUP
+    T = Wp // LANE
+    CB = LANE * min(2, T)
+    xt = x.reshape(B, Hh // G, G, T, LANE)
+    pushed = xt > (W + 0.5)          # OOB-pushed coords land at 1.5W - 0.5
+    x_eff = jnp.where(pushed, jnp.float32(W), xt)
+    xmin = jnp.min(x_eff, axis=(2, 4))                    # [B, H/G, T]
+    base = jnp.clip(jnp.floor(xmin), 0, max(Wp - CB, 0)).astype(jnp.int32)
+    return ((base // LANE) * LANE).reshape(B * (Hh // G), T)
+
+
+def band_coverage_mask(coords: jax.Array, H: int, band: int,
+                       W: int = 0, Wp: int = 0) -> jax.Array:
+    """Per-pixel flag: all source taps lie inside the windows the pixel's
+    8-row group will read — i.e. the banded kernel's result for this pixel
     is exact bilinear. Pixels outside (including the pushed-OOB ones) may
     sample zeros; callers AND this into the warp valid mask so such
     pixels are treated like out-of-view instead of corrupting losses.
+
+    Vertical: both y taps within the group's ``band``-row DMA window.
+    Horizontal (when W/Wp given): both x taps within the column tile's
+    chunk window [cb, cb + 2·LANE).
 
     Args: coords [B, H, W, 2] normalized; band = the BV actually used
     (from ``band_geometry``). Returns [B, H, W] bool.
@@ -165,7 +229,47 @@ def band_coverage_mask(coords: jax.Array, H: int, band: int) -> jax.Array:
     # integer y at the band's last row exact (second tap weight 0).
     lo = jnp.maximum(jnp.floor(y), 0.0)
     hi = jnp.minimum(jnp.ceil(y), H - 1.0)
-    return (lo >= base_full) & (hi <= base_full + band - 1)
+    ok = (lo >= base_full) & (hi <= base_full + band - 1)
+
+    if W:
+        B, Hh, Wx = y.shape
+        T = Wp // LANE
+        CB = LANE * min(2, T)
+        if CB >= Wp:
+            return ok                 # single window covers every column
+        x = ((coords[..., 0] + 1.0) * W - 1.0) * 0.5
+        x_p = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - Wx)),
+                      constant_values=jnp.float32(3 * Wp))
+        cb = _col_bases(x_p, W, Wp).reshape(B, Hh // ROWS_PER_GROUP, T)
+        cb = jnp.repeat(cb, ROWS_PER_GROUP, axis=1)       # [B, H, T]
+        cb = jnp.repeat(cb, LANE, axis=2)[:, :, :Wx].astype(jnp.float32)
+        xlo = jnp.maximum(jnp.floor(x), 0.0)
+        xhi = jnp.minimum(jnp.ceil(x), W - 1.0)
+        ok = ok & (xlo >= cb) & (xhi <= cb + CB - 1)
+    return ok
+
+
+def horizontal_band_ok(coords: jax.Array, W: int, Wp: int) -> jax.Array:
+    """Diagnostic: per-(group, tile) flag that the ≤2-chunk column window
+    covers all valid source columns (conservative on chunk alignment)."""
+    x = ((coords[..., 0] + 1.0) * W - 1.0) * 0.5
+    B, Hh, Wx = x.shape
+    T = Wp // LANE
+    CB = LANE * min(2, T)
+    if CB >= Wp:
+        return jnp.ones((B, Hh // ROWS_PER_GROUP, 1), bool)
+    pushed = x > (W + 0.5)
+    x_lo = jnp.pad(jnp.where(pushed, jnp.float32(W), x),
+                   ((0, 0), (0, 0), (0, Wp - Wx)),
+                   constant_values=jnp.float32(W))
+    x_hi = jnp.pad(jnp.where(pushed, jnp.float32(-W), x),
+                   ((0, 0), (0, 0), (0, Wp - Wx)),
+                   constant_values=jnp.float32(-W))
+    G = ROWS_PER_GROUP
+    xmin = jnp.min(x_lo.reshape(B, Hh // G, G, T, LANE), axis=(2, 4))
+    xmax = jnp.max(x_hi.reshape(B, Hh // G, G, T, LANE), axis=(2, 4))
+    # -2 for the bilinear taps, -(LANE-1) for chunk alignment of the base
+    return (xmax - xmin) <= (CB - LANE - 2)
 
 
 def vertical_band_ok(coords: jax.Array, H: int, band: int = 32) -> jax.Array:
@@ -245,24 +349,28 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
     B, H, W, C = img.shape
     BV, Wp = band_geometry(H, W, band)
     img_chw, x_p, y_p, base = _prep_layout(img, coords, BV, Wp)
+    colbase = _col_bases(x_p, W, Wp)
 
+    exact_ch = _norm_exact(exact, C)
     G = ROWS_PER_GROUP
-    kernel = _make_kernel(C, H, Wp, BV, jnp.float32,
-                          exact_ch=_norm_exact(exact, C))
+    kernel = _make_kernel(C, H, Wp, BV, jnp.float32, exact_ch=exact_ch)
+    R = (C + len(exact_ch)) * BV      # S2 row count (hi + lo blocks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, H // G),
         in_specs=[
-            pl.BlockSpec((1, G, Wp), lambda b, g, base: (b, g, 0),
+            pl.BlockSpec((1, G, Wp), lambda b, g, base, cb: (b, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, Wp), lambda b, g, base: (b, g, 0),
+            pl.BlockSpec((1, G, Wp), lambda b, g, base, cb: (b, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, C, G, Wp), lambda b, g, base: (b, 0, g, 0),
+        out_specs=pl.BlockSpec((1, C, G, Wp),
+                               lambda b, g, base, cb: (b, 0, g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((C * BV, Wp), jnp.float32),
+            pltpu.VMEM((R, G * 2 * LANE), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -271,7 +379,7 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
         out_shape=jax.ShapeDtypeStruct((B, C, H, Wp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(base, x_p, y_p, img_chw)
+    )(base, colbase, x_p, y_p, img_chw)
 
     return out[:, :, :, :W].transpose(0, 2, 3, 1)
 

@@ -92,6 +92,50 @@ class TestMXUGridSample:
         np.testing.assert_allclose(np.asarray(out)[..., :3],
                                    np.asarray(fast)[..., :3], atol=1e-6)
 
+    def test_wide_image_column_chunks(self):
+        """W=384 (3 column tiles): the banded-selector chunk skipping must
+        stay exact for smooth warps and for a uniform lateral shift."""
+        h, w = 16, 384
+        img = jnp.asarray(np.random.RandomState(8).rand(1, h, w, 2)
+                          .astype(np.float32))
+        rng = np.random.RandomState(9)
+        coords = _identity_coords(1, h, w)
+        coords += (0.01 * rng.randn(1, h, w, 2)).astype(np.float32)
+        # add a +40 px lateral shift (well inside the 2-chunk window)
+        coords[..., 0] += 2 * 40.0 / w
+        out = grid_sample_mxu(img, jnp.asarray(coords), band=16,
+                              interpret=True)
+        ref = grid_sample(img, jnp.asarray(coords))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_wide_image_column_violation_flagged(self):
+        """A horizontal spread larger than the 2-chunk window is flagged by
+        the coverage mask, and every covered pixel still samples exactly."""
+        from tcsfm.ops.warp_mxu import (band_coverage_mask, band_geometry,
+                                        horizontal_band_ok)
+        h, w = 16, 384
+        img = jnp.asarray(np.random.RandomState(10).rand(1, h, w, 2)
+                          .astype(np.float32))
+        coords = _identity_coords(1, h, w)
+        # horizontal stretch x ≈ 2.57·j: the source-column spread within
+        # one 128-col output tile is ~326 px > the 2-chunk window (256)
+        shift = np.linspace(0.0, 600.0, w).astype(np.float32)
+        coords[..., 0] += 2 * shift / w
+        coords = np.clip(coords, -1.0, 1.0)
+        ok = horizontal_band_ok(jnp.asarray(coords), w,
+                                band_geometry(h, w, 16)[1])
+        assert not bool(jnp.all(ok))
+        bv, wp = band_geometry(h, w, 16)
+        cover = np.asarray(band_coverage_mask(jnp.asarray(coords), h, bv,
+                                              W=w, Wp=wp))
+        assert 0 < cover.sum() < cover.size
+        out = np.asarray(grid_sample_mxu(img, jnp.asarray(coords), band=16,
+                                         interpret=True))
+        ref = np.asarray(grid_sample(img, jnp.asarray(coords)))
+        m = cover[..., None]
+        np.testing.assert_allclose(out * m, ref * m, atol=1e-5)
+
     def test_band_diagnostic(self):
         coords = jnp.asarray(_identity_coords())
         ok = vertical_band_ok(coords, H, band=16)
