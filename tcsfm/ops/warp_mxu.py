@@ -412,12 +412,14 @@ def _gsm_bwd(band, interpret, exact, res, g):
     B, H, W, C = img.shape
     BV, Wp = band_geometry(H, W, band)
     img_chw, x_p, y_p, base = _prep_layout(img, coords, BV, Wp)
+    colbase = _col_bases(x_p, W, Wp)
     g_chw = jnp.pad(
         g.transpose(0, 3, 1, 2).astype(jnp.float32),
         ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
     )
     dimg_chw, dx, dy = grid_sample_mxu_bwd(
-        img_chw, x_p, y_p, base, g_chw, band=BV, interpret=interpret)
+        img_chw, x_p, y_p, base, colbase, g_chw, band=BV,
+        interpret=interpret)
 
     d_img = dimg_chw[:, :, :, :W].transpose(0, 2, 3, 1).astype(img.dtype)
     # chain rule pixel→normalized: x_pix = ((cx+1)·W - 1)/2 → d/dcx = W/2.

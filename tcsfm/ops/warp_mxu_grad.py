@@ -25,18 +25,29 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tcsfm.ops.warp_mxu import ROWS_PER_GROUP, _band_bases, _round_up
+from tcsfm.ops.warp_mxu import (LANE, ROWS_PER_GROUP, _band_bases,
+                                _col_bases, _round_up)
 
 
 def _make_bwd_kernel(C: int, H: int, Wp: int, BV: int):
+    """Backward kernel with the forward's column banding: per 128-col
+    output tile, all 8 rows' (row, tap) selector columns batch into one
+    matmul N dim, and only the ≤2 source-column chunks under the tile's
+    scalar-prefetched base run — for BOTH the tap-value matmul (R4, feeds
+    d_coords) and the transposed d_img contraction (which additionally
+    sums over the 8 rows inside one dot_general)."""
     G = ROWS_PER_GROUP
+    T = Wp // LANE
+    NCHUNK = min(2, T)
+    NW = G * 2 * LANE                # (row, tap)-batched N width
 
-    def kernel(base_ref, x_ref, y_ref, g_ref, img_ref, dimg_zero_ref,
-               dx_ref, dy_ref, dimg_ref, s_scratch, acc_scratch, io_scratch,
-               sem):
+    def kernel(base_ref, cb_ref, x_ref, y_ref, g_ref, img_ref, dimg_zero_ref,
+               dx_ref, dy_ref, dimg_ref, s_scratch, acc_scratch, racc,
+               io_scratch, sem):
         b = pl.program_id(0)
         g_idx = pl.program_id(1)
-        base = pl.multiple_of(base_ref[b * (H // G) + g_idx], 8)
+        idx = b * (H // G) + g_idx
+        base = pl.multiple_of(base_ref[idx], 8)
 
         # source band DMA (as in the forward)
         for ch in range(C):
@@ -49,8 +60,9 @@ def _make_bwd_kernel(C: int, H: int, Wp: int, BV: int):
             dma.wait()
 
         basef = base.astype(jnp.float32)
-        v_ids = lax.broadcasted_iota(jnp.int32, (BV, Wp), 0).astype(jnp.float32)
-        ci = lax.broadcasted_iota(jnp.int32, (Wp, Wp), 0)
+        v_ids = lax.broadcasted_iota(jnp.int32, (BV, LANE), 0).astype(
+            jnp.float32)
+        ci = lax.broadcasted_iota(jnp.int32, (LANE, NW), 0)
 
         S = s_scratch[:, :]
         S_hi = S.astype(jnp.bfloat16)
@@ -62,49 +74,70 @@ def _make_bwd_kernel(C: int, H: int, Wp: int, BV: int):
 
         acc_scratch[:, :] = jnp.zeros_like(acc_scratch)
 
-        for r in range(G):
-            x = x_ref[0, r, :].reshape(1, Wp)
-            y = y_ref[0, r, :].reshape(1, Wp)
-            xi = jnp.floor(x)
-            f = x - xi
-            xi_i = xi.astype(jnp.int32)
-            A0 = (ci == xi_i).astype(jnp.bfloat16)
-            A1 = (ci == xi_i + 1).astype(jnp.bfloat16)
-            AA = jnp.concatenate([A0, A1], axis=1)          # [Wp, 2Wp]
+        for t in range(T):
+            sl = slice(t * LANE, (t + 1) * LANE)
+            # per-row f, ty, ty' and the (row, tap)-batched selector cols
+            xi_pieces, tys, dtys, fs = [], [], [], []
+            for r in range(G):
+                x = x_ref[0, r, sl].reshape(1, LANE)
+                y = y_ref[0, r, sl].reshape(1, LANE)
+                xi_r = jnp.floor(x)
+                fs.append(x - xi_r)
+                xi_i = xi_r.astype(jnp.int32)
+                xi_pieces.append(xi_i)
+                xi_pieces.append(xi_i + 1)
+                ydiff = y - (v_ids + basef)                 # [BV, LANE]
+                tys.append(jnp.maximum(0.0, 1.0 - jnp.abs(ydiff)))
+                dtys.append(jnp.where(jnp.abs(ydiff) < 1.0,
+                                      -jnp.sign(ydiff), 0.0))
+            xi_flat = jnp.concatenate(xi_pieces, axis=1)    # [1, NW]
 
-            R4 = jnp.dot(S2, AA, preferred_element_type=jnp.float32)
-            Rm = R4[0:M, 0:Wp] + R4[M:2 * M, 0:Wp]
-            Rs = R4[0:M, Wp:] + R4[M:2 * M, Wp:]
-            Rcomb = Rm * (1.0 - f) + Rs * f                 # [M, Wp]
+            # (ty ⊗ g) per row, channel-major; W01 in the AA column layout
+            gtys, gdtys, w01_pieces = [], [], []
+            for r in range(G):
+                gty_parts, gdty_parts = [], []
+                for ch in range(C):
+                    g_row = g_ref[0, ch, r, sl].reshape(1, LANE)
+                    gty_parts.append(tys[r] * g_row)
+                    gdty_parts.append(dtys[r] * g_row)
+                gty = jnp.concatenate(gty_parts, axis=0)    # [M, LANE]
+                gtys.append(gty)
+                gdtys.append(jnp.concatenate(gdty_parts, axis=0))
+                w01_pieces.append((gty * (1.0 - fs[r])).astype(jnp.bfloat16))
+                w01_pieces.append((gty * fs[r]).astype(jnp.bfloat16))
+            W01 = jnp.concatenate(w01_pieces, axis=1)       # [M, NW]
 
-            ydiff = y - (v_ids + basef)                     # [BV, Wp]
-            ty = jnp.maximum(0.0, 1.0 - jnp.abs(ydiff))
-            dty = jnp.where(jnp.abs(ydiff) < 1.0, -jnp.sign(ydiff), 0.0)
+            cb0 = cb_ref[idx, t] // LANE
+            racc[...] = jnp.zeros_like(racc)
 
-            # assemble (ty ⊗ g) and (ty' ⊗ g), channel-major rows
-            gty_parts = []
-            gdty_parts = []
-            for ch in range(C):
-                g_row = g_ref[0, ch, r, :].reshape(1, Wp)
-                gty_parts.append(ty * g_row)
-                gdty_parts.append(dty * g_row)
-            gty = jnp.concatenate(gty_parts, axis=0)        # [M, Wp]
-            gdty = jnp.concatenate(gdty_parts, axis=0)
+            def chunk_body(c):
+                cig = ci + c * LANE
+                AA = (cig == xi_flat).astype(jnp.bfloat16)  # [LANE, NW]
+                racc[...] += jnp.dot(S2[:, c * LANE:(c + 1) * LANE], AA,
+                                     preferred_element_type=jnp.float32)
+                # d_band[:, chunk] += Σ_{r,tap,j} W01·selᵀ — the row sum
+                # rides the contraction (right-hand, no transpose)
+                acc_scratch[:, c * LANE:(c + 1) * LANE] += lax.dot_general(
+                    W01, AA,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                           # [M, LANE(c)]
 
-            dx_ref[0, r, :] = jnp.sum(gty * (Rs - Rm), axis=0)
-            dy_ref[0, r, :] = jnp.sum(gdty * Rcomb, axis=0)
+            for c in range(T):
+                if T > NCHUNK:
+                    pl.when((c == cb0) | (c == cb0 + 1))(
+                        functools.partial(chunk_body, c))
+                else:
+                    chunk_body(c)
 
-            # d_band += gty·(1-f) @ A0ᵀ + gty·f @ A1ᵀ  (contraction over j,
-            # expressed with a right-hand contraction — no transpose)
-            W01 = jnp.concatenate(
-                [(gty * (1.0 - f)), (gty * f)], axis=1
-            ).astype(jnp.bfloat16)                          # [M, 2Wp]
-            contrib = lax.dot_general(
-                W01, AA,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                               # [M, Wp(c)]
-            acc_scratch[:, :] += contrib
+            R4 = racc[...]
+            for r in range(G):
+                o0, o1 = 2 * r * LANE, (2 * r + 1) * LANE
+                Rm = R4[0:M, o0:o0 + LANE] + R4[M:2 * M, o0:o0 + LANE]
+                Rs = R4[0:M, o1:o1 + LANE] + R4[M:2 * M, o1:o1 + LANE]
+                Rcomb = Rm * (1.0 - fs[r]) + Rs * fs[r]     # [M, LANE]
+                dx_ref[0, r, sl] = jnp.sum(gtys[r] * (Rs - Rm), axis=0)
+                dy_ref[0, r, sl] = jnp.sum(gdtys[r] * Rcomb, axis=0)
 
         # read-modify-write the overlapping d_img band, per channel
         for ch in range(C):
@@ -129,12 +162,13 @@ def _make_bwd_kernel(C: int, H: int, Wp: int, BV: int):
 
 @functools.partial(jax.jit, static_argnames=("band", "interpret"))
 def grid_sample_mxu_bwd(img_chw: jax.Array, x_p: jax.Array, y_p: jax.Array,
-                        base: jax.Array, g_chw: jax.Array,
+                        base: jax.Array, colbase: jax.Array, g_chw: jax.Array,
                         band: int, interpret: bool = False):
     """Raw backward launcher (operands already in kernel layout).
 
     img_chw/g_chw: [B, C, H, Wp]; x_p/y_p: [B, H, Wp] pixel coords;
-    base: [B*H/8] int32. Returns (d_img_chw [B, C, H, Wp],
+    base: [B*H/8] int32; colbase: [B*H/8, Wp/128] int32 (from
+    ``_col_bases``). Returns (d_img_chw [B, C, H, Wp],
     dx [B, H, Wp], dy [B, H, Wp]) in PIXEL units.
     """
     B, C, H, Wp = img_chw.shape
@@ -143,28 +177,29 @@ def grid_sample_mxu_bwd(img_chw: jax.Array, x_p: jax.Array, y_p: jax.Array,
 
     kernel = _make_bwd_kernel(C, H, Wp, BV)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, H // G),
         in_specs=[
-            pl.BlockSpec((1, G, Wp), lambda b, g, base: (b, g, 0),
+            pl.BlockSpec((1, G, Wp), lambda b, g, base, cb: (b, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, Wp), lambda b, g, base: (b, g, 0),
+            pl.BlockSpec((1, G, Wp), lambda b, g, base, cb: (b, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, G, Wp), lambda b, g, base: (b, 0, g, 0),
+            pl.BlockSpec((1, C, G, Wp), lambda b, g, base, cb: (b, 0, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # img
             pl.BlockSpec(memory_space=pltpu.ANY),   # dimg zeros (aliased)
         ],
         out_specs=[
-            pl.BlockSpec((1, G, Wp), lambda b, g, base: (b, g, 0),
+            pl.BlockSpec((1, G, Wp), lambda b, g, base, cb: (b, g, 0),
                          memory_space=pltpu.VMEM),   # dx
-            pl.BlockSpec((1, G, Wp), lambda b, g, base: (b, g, 0),
+            pl.BlockSpec((1, G, Wp), lambda b, g, base, cb: (b, g, 0),
                          memory_space=pltpu.VMEM),   # dy
             pl.BlockSpec(memory_space=pltpu.ANY),    # d_img accumulator
         ],
         scratch_shapes=[
             pltpu.VMEM((C * BV, Wp), jnp.float32),   # S band
             pltpu.VMEM((C * BV, Wp), jnp.float32),   # accumulation
+            pltpu.VMEM((2 * C * BV, G * 2 * LANE), jnp.float32),  # racc
             pltpu.VMEM((BV, Wp), jnp.float32),       # r/m/w staging
             pltpu.SemaphoreType.DMA,
         ],
@@ -178,10 +213,10 @@ def grid_sample_mxu_bwd(img_chw: jax.Array, x_p: jax.Array, y_p: jax.Array,
             jax.ShapeDtypeStruct((B, C, H, Wp), jnp.float32),
         ),
         grid_spec=grid_spec,
-        # zeros input (index 5 incl. the scalar-prefetch arg) aliases the
+        # zeros input (index 6 incl. the scalar-prefetch args) aliases the
         # d_img output (index 2)
-        input_output_aliases={5: 2},
+        input_output_aliases={6: 2},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(base, x_p, y_p, g_chw, img_chw, zeros)
+    )(base, colbase, x_p, y_p, g_chw, img_chw, zeros)
     return dimg, dx, dy

@@ -63,6 +63,31 @@ class TestMXUSamplerVJP:
         g_ref = np.asarray(jax.grad(loss_ref)(img))
         np.testing.assert_allclose(g_mxu, g_ref, atol=2e-2, rtol=3e-2)
 
+    def test_grads_wide_image_column_chunks(self, data):
+        """W=384 (3 column tiles) + a 40 px lateral shift: the backward's
+        chunk-skipped matmuls must match the XLA gradients."""
+        h, w = 16, 384
+        rng = np.random.RandomState(3)
+        img = jnp.asarray(rng.rand(1, h, w, 2).astype(np.float32))
+        g = jnp.asarray(rng.rand(1, h, w, 2).astype(np.float32))
+        coords = _identity_coords(1, h, w)
+        coords += (0.01 * rng.randn(1, h, w, 2)).astype(np.float32)
+        coords[..., 0] += 2 * 40.0 / w
+        coords = jnp.asarray(coords)
+
+        def loss_mxu(im, c):
+            return jnp.sum(grid_sample_mxu_diff(im, c, 16, True, True) * g)
+
+        def loss_ref(im, c):
+            return jnp.sum(grid_sample(im, c) * g)
+
+        gi_m, gc_m = jax.grad(loss_mxu, argnums=(0, 1))(img, coords)
+        gi_r, gc_r = jax.grad(loss_ref, argnums=(0, 1))(img, coords)
+        np.testing.assert_allclose(np.asarray(gi_m), np.asarray(gi_r),
+                                   atol=2e-2, rtol=3e-2)
+        np.testing.assert_allclose(np.asarray(gc_m), np.asarray(gc_r),
+                                   atol=2e-2, rtol=3e-2)
+
     def test_grad_zero_at_pushed_coords(self, data):
         img, coords, g = data
         pushed = np.array(coords, copy=True)
