@@ -274,14 +274,27 @@ def main(argv=None):
         init_poses, opt_poses, init_inv, opt_inv, losses = [], [], [], [], []
         info_f, info_i = [], []
         scales_init, scales_opt = [], []
+        # dispatch every window batch asynchronously (JAX queues the jitted
+        # calls; host loading overlaps device PFT via BatchLoader's
+        # prefetch thread), then drain results after the last dispatch —
+        # the device never idles on a host fetch between batches
+        pending = []
         for batch in loader:
             valid = batch.pop("_valid")
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
             n = int(valid.sum())
             if args.refiner == "ba":
-                poses, poses_inv, fwd, inv, scale = ba_refine(
+                out = ba_refine(
                     state.params, state.batch_stats, jbatch["target_img"],
                     jbatch["source_imgs"], jbatch["intrinsics"])
+            else:
+                out = optimizer.optimize_window_jit(
+                    jbatch, state.params["depth"], state.params["pose"],
+                    state.batch_stats)
+            pending.append((n, out))
+        for n, out in pending:
+            if args.refiner == "ba":
+                poses, poses_inv, fwd, inv, scale = out
                 init_poses.append(np.asarray(poses[1])[:n])
                 opt_poses.append(np.asarray(fwd.pose)[:n])
                 init_inv.append(np.asarray(poses_inv[1])[:n])
@@ -292,9 +305,7 @@ def main(argv=None):
                 scales_init.append(np.full(n, float(scale)))
                 scales_opt.append(np.full(n, float(scale)))
             else:
-                res = optimizer.optimize_window_jit(
-                    jbatch, state.params["depth"], state.params["pose"],
-                    state.batch_stats)
+                res = out
                 # source 1 is the NEXT frame (forward in time)
                 init_poses.append(np.asarray(res.poses_init)[1, :n])
                 opt_poses.append(np.asarray(res.poses_opt)[1, :n])

@@ -110,18 +110,22 @@ class VOEvaluator:
                              pad_tail=True, prefetch=2)
 
         fwd, inv, gts, scales = [], [], [], []
+        # dispatch all batches asynchronously (host loading overlaps device
+        # inference via the prefetch thread), fetch after the last dispatch
+        pending = []
         for batch in loader:
             valid = batch.pop("_valid")
-            poses, poses_inv, scale = self._infer(
+            out = self._infer(
                 self._params, self._batch_stats,
                 jnp.asarray(batch["target_img"]),
                 jnp.asarray(batch["source_imgs"]),
                 jnp.asarray(batch["intrinsics"]),
             )
-            n = int(valid.sum())
+            pending.append((int(valid.sum()), batch["gt_lie_alg"][0], out))
+        for n, gt, (poses, poses_inv, scale) in pending:
             fwd.append(np.asarray(poses[0])[:n])
             inv.append(np.asarray(poses_inv[0])[:n])
-            gts.append(batch["gt_lie_alg"][0][:n])
+            gts.append(gt[:n])
             scales.append(np.asarray(scale)[:n])
 
         fwd = np.concatenate(fwd)
