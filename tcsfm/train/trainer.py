@@ -146,6 +146,11 @@ def forward_loss(cfg: Config, depth_model: DepthNet, pose_model: PoseNet,
             cfg.l_pose_consist_weight * pose_consistency_loss(poses, poses_inv)
         )
         losses["total"] = losses["total"] + losses["l_pose_consist"]
+    # depth-collapse diagnostics (reference warns when the disparity
+    # median/mean vanish, train_mono.py:168-169; our sigmoid can saturate
+    # at either tail — report both moments and let run_epoch warn)
+    losses["mean_disp"] = jnp.mean(disparities[0][0])
+    losses["std_disp"] = jnp.std(disparities[0][0])
     return losses, new_stats, (poses, poses_inv, disparities)
 
 
@@ -216,4 +221,12 @@ class Trainer:
         if verbose:
             print(f"{phase} epoch {epoch} done in {time.time() - start:.1f}s "
                   f"loss {running.get('total', float('nan')):.6f}")
+        # reference's depth-collapse guard (train_mono.py:168-169), both
+        # sigmoid tails: a saturated disparity freezes all depth gradients
+        std = running.get("std_disp", 1.0)
+        mean = running.get("mean_disp", 0.5)
+        if std < 1e-6 or mean < 1e-6 or mean > 1.0 - 1e-6:
+            print(f"warning - depth est has failed (mean disp {mean:.3g}, "
+                  f"std {std:.3g}): sigmoid saturated, depth gradients are "
+                  f"zero. Lower the lr or warm-start the encoder.")
         return running
