@@ -44,10 +44,22 @@ class SequenceData:
     def load_image(self, i: int) -> np.ndarray:
         if self.images is not None:
             return self.images[i]
+        # decoded-frame LRU: stride-1 length-L windows read every frame L
+        # times; caching the float image kills (L-1)/L of the JPEG decodes.
+        # GIL-atomic dict ops make this safe under the BatchLoader's decode
+        # thread pool (a racing miss just decodes twice).
+        cache = self.__dict__.setdefault("_img_cache", {})
+        hit = cache.get(i)
+        if hit is not None:
+            return hit
         from PIL import Image
 
         with Image.open(self.image_files[i]) as im:
-            return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+            arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+        if len(cache) >= 128:
+            cache.pop(next(iter(cache)))
+        cache[i] = arr
+        return arr
 
     # --- serialization ----------------------------------------------------
 
@@ -136,7 +148,7 @@ class SfMWindowDataset:
         self.sequences = list(sequences)
         self.seq_len = seq_len
         self.transform = transform
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
 
         self.index: List[Tuple[int, np.ndarray]] = []
         for si, seq in enumerate(self.sequences):
@@ -154,7 +166,15 @@ class SfMWindowDataset:
 
     def reseed(self, seed: int) -> None:
         """Per-epoch reseed (run_mono_training.py:168)."""
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+
+    def _rng_for(self, idx: int) -> np.random.RandomState:
+        """Per-sample augmentation stream: deterministic in (epoch seed,
+        sample index) regardless of fetch ORDER — so the BatchLoader can
+        decode samples on a thread pool, and multi-host loaders draw
+        identical augmentations for the same global sample."""
+        return np.random.RandomState(
+            (1_000_003 * (self.seed + 1) + idx) % (2 ** 31 - 1))
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         si, frames = self.index[idx]
@@ -180,7 +200,7 @@ class SfMWindowDataset:
 
         if self.transform is not None:
             (o_imgs, K_o, lie_o), (a_imgs, K_a, lie_a) = self.transform(
-                imgs, K, lie, self.rng
+                imgs, K, lie, self._rng_for(idx)
             )
         else:
             (o_imgs, K_o, lie_o) = (imgs, K, lie)

@@ -29,7 +29,7 @@ class EigenDataset:
         self.folders = d["folders"]
         self.idxs = d["idxs"]
         self.transform = transform
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
 
         # map (folder, frame idx) → row for neighbour lookup
         self.lookup: Dict = {}
@@ -55,7 +55,7 @@ class EigenDataset:
         return len(self.files)
 
     def reseed(self, seed: int) -> None:
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
 
     def _load(self, row: int) -> np.ndarray:
         from PIL import Image
@@ -76,7 +76,8 @@ class EigenDataset:
 
         if self.transform is not None:
             (o_imgs, K_o, lie_o), (a_imgs, K_a, lie_a) = self.transform(
-                imgs, K, lie, self.rng)
+                imgs, K, lie, np.random.RandomState(
+                    (1_000_003 * (self.seed + 1) + idx) % (2 ** 31 - 1)))
         else:
             (o_imgs, K_o, lie_o) = (imgs, K, lie)
             (a_imgs, K_a, lie_a) = (imgs, K, lie)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
@@ -42,7 +43,8 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
                  pad_tail: bool = False, prefetch: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 decode_threads: int = 8):
         """``batch_size`` is the GLOBAL batch size. With
         ``process_count > 1`` (multi-host data loading), every process
         must construct the loader with the same seed — the shuffle order
@@ -68,6 +70,11 @@ class BatchLoader:
                 raise ValueError(
                     "multi-process loading requires drop_last=True")
         self.rng = np.random.RandomState(seed)
+        self._pool = (
+            ThreadPoolExecutor(max_workers=decode_threads,
+                               thread_name_prefix="tcsfm-decode")
+            if decode_threads > 0 else None
+        )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -87,7 +94,14 @@ class BatchLoader:
                 # this process's contiguous rows of the global batch
                 idx = idx[self.process_index * local_bs:
                           (self.process_index + 1) * local_bs]
-            samples = [self.dataset[int(i)] for i in idx]
+            if self._pool is not None and len(idx) > 1:
+                # JPEG decode releases the GIL: fan sample loads across the
+                # pool (augmentation draws are per-sample-seeded, so fetch
+                # order does not change the data)
+                samples = list(self._pool.map(
+                    self.dataset.__getitem__, [int(i) for i in idx]))
+            else:
+                samples = [self.dataset[int(i)] for i in idx]
             batch = collate_windows(samples)
             pad = self.batch_size - len(idx)
             source_major = (

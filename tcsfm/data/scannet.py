@@ -21,7 +21,7 @@ class ScanNetTestDataset:
         self.sequences = list(sequences)
         self.gap = frame_gap
         self.transform = transform
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
 
         self.index = []
         for si, seq in enumerate(self.sequences):
@@ -49,7 +49,8 @@ class ScanNetTestDataset:
 
         if self.transform is not None:
             (o_imgs, K_o, lie_o), (a_imgs, K_a, lie_a) = self.transform(
-                imgs, K, lie, self.rng)
+                imgs, K, lie, np.random.RandomState(
+                    (1_000_003 * (self.seed + 1) + idx) % (2 ** 31 - 1)))
         else:
             (o_imgs, K_o, lie_o) = (imgs, K, lie)
             (a_imgs, K_a, lie_a) = (imgs, K, lie)

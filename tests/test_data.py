@@ -144,6 +144,36 @@ class TestLoader:
         for b in batches:
             assert b["target_img"].shape[0] == 4
 
+    def test_threaded_decode_determinism(self):
+        """Thread-pool sample loading must be bitwise-identical to serial —
+        augmentation streams are per-sample-seeded, not fetch-ordered."""
+        from tcsfm.data.transforms import WindowTransform
+
+        ds = SfMWindowDataset([make_synthetic_sequence(12, (32, 48))],
+                              seq_len=3,
+                              transform=WindowTransform(jitter=True,
+                                                        flip_prob=0.5))
+        a = list(BatchLoader(ds, 3, shuffle=True, seed=5, decode_threads=0))
+        b = list(BatchLoader(ds, 3, shuffle=True, seed=5, decode_threads=8))
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            for k in x:
+                assert np.array_equal(x[k], y[k]), k
+
+    def test_reseed_changes_augmentation(self):
+        """Per-epoch reseed must change the augmentation draws (the
+        reference reseeds per epoch, run_mono_training.py:168)."""
+        from tcsfm.data.transforms import WindowTransform
+
+        ds = SfMWindowDataset([make_synthetic_sequence(12, (32, 48))],
+                              seq_len=3,
+                              transform=WindowTransform(jitter=True,
+                                                        flip_prob=0.5))
+        s0 = ds[0]["target_img_aug"]
+        ds.reseed(1)
+        s1 = ds[0]["target_img_aug"]
+        assert not np.array_equal(s0, s1)
+
     def test_prefetch_equivalence(self):
         ds = SfMWindowDataset([make_synthetic_sequence(9, (32, 48))], seq_len=3)
         a = list(BatchLoader(ds, 2, shuffle=False, prefetch=0))
