@@ -58,10 +58,20 @@ class EigenDataset:
         self.seed = seed
 
     def _load(self, row: int) -> np.ndarray:
+        # decoded-frame LRU — each row is read up to 3x (as target and as
+        # its neighbors' source); thread-safe under GIL-atomic dict ops
+        cache = self.__dict__.setdefault("_img_cache", {})
+        hit = cache.get(row)
+        if hit is not None:
+            return hit
         from PIL import Image
 
         with Image.open(str(self.files[row])) as im:
-            return np.asarray(im.convert("RGB"), np.float32) / 255.0
+            arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        if len(cache) >= 128:
+            cache.pop(next(iter(cache)))
+        cache[row] = arr
+        return arr
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         prev_row, next_row = self.sources[idx]
