@@ -114,8 +114,11 @@ def main(argv=None):
                 continue
             pred_disps.append(disp_t[i])
             gt_depths.append(batch["gt_depth"][i])
-            pred_mats.append(np_se3_exp(comb[i]))
+            # pair (pred, gt) pose matrices at collection time — collecting
+            # them under different conditions would misalign the pose
+            # metrics when scenes mix depth-GT and pose-GT availability
             if "gt_pose_mats" in batch:
+                pred_mats.append(np_se3_exp(comb[i]))
                 gt_mats.append(batch["gt_pose_mats"][i, 0])
 
     depth_results, pose_results = [], []

@@ -312,7 +312,6 @@ def run_synthetic(args) -> dict:
     def fused_ate(f_list, i_list):
         fused = (np.concatenate(f_list) - np.concatenate(i_list)) / 2.0
         gt_traj = test_seq.gt_poses[1:2 + len(fused)]
-        gts = fused  # gt-scale via mean norm of true increments
         # mean-norm scale matching (evaluate_vo_model.py:142-145)
         from tcsfm.eval.trajectory import np_se3_log
         true_inc = np.stack([

@@ -164,6 +164,10 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out_dir", type=str, default="")
     args = p.parse_args(argv)
+    if args.refiner == "chain" and args.chain_block < 3:
+        # block 1 never advances the block loop; block 2 gives chain_ba a
+        # single-edge system whose edge-count normalization hits 0/0
+        p.error("--chain_block must be >= 3")
 
     import jax
     import jax.numpy as jnp
@@ -274,25 +278,16 @@ def main(argv=None):
         init_poses, opt_poses, init_inv, opt_inv, losses = [], [], [], [], []
         info_f, info_i = [], []
         scales_init, scales_opt = [], []
-        # dispatch every window batch asynchronously (JAX queues the jitted
-        # calls; host loading overlaps device PFT via BatchLoader's
-        # prefetch thread), then drain results after the last dispatch —
-        # the device never idles on a host fetch between batches
-        pending = []
-        for batch in loader:
-            valid = batch.pop("_valid")
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-            n = int(valid.sum())
-            if args.refiner == "ba":
-                out = ba_refine(
-                    state.params, state.batch_stats, jbatch["target_img"],
-                    jbatch["source_imgs"], jbatch["intrinsics"])
-            else:
-                out = optimizer.optimize_window_jit(
-                    jbatch, state.params["depth"], state.params["pose"],
-                    state.batch_stats)
-            pending.append((n, out))
-        for n, out in pending:
+        # dispatch window batches asynchronously with a bounded pipeline
+        # (depth 2): host loading overlaps device PFT via BatchLoader's
+        # prefetch thread and the device never idles on a host fetch, while
+        # at most 2 batches' results (which include [B,H,W] disparities)
+        # stay live on the device — constant HBM over sequence length
+        from collections import deque
+        pending = deque()
+
+        def drain_one():
+            n, out = pending.popleft()
             if args.refiner == "ba":
                 poses, poses_inv, fwd, inv, scale = out
                 init_poses.append(np.asarray(poses[1])[:n])
@@ -315,6 +310,24 @@ def main(argv=None):
                 # one DNet factor per window batch (optimizer.py:254-258)
                 scales_init.append(np.full(n, float(res.scale_init)))
                 scales_opt.append(np.full(n, float(res.scale_opt)))
+
+        for batch in loader:
+            valid = batch.pop("_valid")
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            n = int(valid.sum())
+            if args.refiner == "ba":
+                out = ba_refine(
+                    state.params, state.batch_stats, jbatch["target_img"],
+                    jbatch["source_imgs"], jbatch["intrinsics"])
+            else:
+                out = optimizer.optimize_window_jit(
+                    jbatch, state.params["depth"], state.params["pose"],
+                    state.batch_stats)
+            pending.append((n, out))
+            if len(pending) > 2:
+                drain_one()
+        while pending:
+            drain_one()
 
         if args.scaling == "unscaled":
             sc_init = np.concatenate(scales_init)

@@ -1,0 +1,54 @@
+"""Shared host-side data helpers: per-sample RNG streams and the
+decoded-frame cache used by every dataset."""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict
+
+import numpy as np
+
+CACHE_FRAMES = 128
+
+
+def sample_rng(seed: int, idx: int) -> np.random.RandomState:
+    """Per-sample augmentation stream: deterministic in (epoch seed, sample
+    index) regardless of fetch ORDER — so loaders can decode samples on a
+    thread pool, and multi-host loaders draw identical augmentations for
+    the same global sample."""
+    return np.random.RandomState(
+        (1_000_003 * (seed + 1) + idx) % (2 ** 31 - 1))
+
+
+def cached_frame(cache: Dict, key, decode: Callable[[], np.ndarray],
+                 max_frames: int = CACHE_FRAMES) -> np.ndarray:
+    """Decoded-frame LRU: stride-1 length-L windows read every frame L
+    times; caching kills (L-1)/L of the JPEG decodes. ``decode`` must
+    return the uint8 image; frames are cached as uint8 (4x less host RAM
+    than float32) and converted to float32/255 on every access (a ~ms
+    conversion vs a ~10 ms decode). Thread-safe under the decode pool: a
+    racing miss decodes twice, and eviction tolerates a
+    concurrently-removed key."""
+    hit = cache.get(key)
+    if hit is None:
+        hit = decode()
+        if len(cache) >= max_frames:
+            try:
+                cache.pop(next(iter(cache)), None)
+            except (StopIteration, RuntimeError):
+                pass                 # another thread mutated it — fine
+        cache[key] = hit
+    return np.asarray(hit, np.float32) / 255.0
+
+
+# One shared daemon pool for every BatchLoader (loaders are constructed
+# per epoch — a pool per loader would leak threads).
+_DECODE_POOL: ThreadPoolExecutor | None = None
+
+
+def decode_pool(threads: int) -> ThreadPoolExecutor:
+    global _DECODE_POOL
+    if _DECODE_POOL is None:
+        _DECODE_POOL = ThreadPoolExecutor(max_workers=threads,
+                                          thread_name_prefix="tcsfm-decode")
+    return _DECODE_POOL

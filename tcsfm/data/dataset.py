@@ -20,6 +20,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from tcsfm.data.common import cached_frame, sample_rng
 from tcsfm.data.transforms import WindowTransform
 from tcsfm.data.windows import build_windows, target_source_split
 from tcsfm.eval.trajectory import np_normalize_rotation, np_se3_inv, np_se3_log
@@ -44,22 +45,15 @@ class SequenceData:
     def load_image(self, i: int) -> np.ndarray:
         if self.images is not None:
             return self.images[i]
-        # decoded-frame LRU: stride-1 length-L windows read every frame L
-        # times; caching the float image kills (L-1)/L of the JPEG decodes.
-        # GIL-atomic dict ops make this safe under the BatchLoader's decode
-        # thread pool (a racing miss just decodes twice).
-        cache = self.__dict__.setdefault("_img_cache", {})
-        hit = cache.get(i)
-        if hit is not None:
-            return hit
-        from PIL import Image
 
-        with Image.open(self.image_files[i]) as im:
-            arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
-        if len(cache) >= 128:
-            cache.pop(next(iter(cache)))
-        cache[i] = arr
-        return arr
+        def decode() -> np.ndarray:
+            from PIL import Image
+
+            with Image.open(self.image_files[i]) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+        return cached_frame(self.__dict__.setdefault("_img_cache", {}),
+                            i, decode)
 
     # --- serialization ----------------------------------------------------
 
@@ -169,12 +163,7 @@ class SfMWindowDataset:
         self.seed = seed
 
     def _rng_for(self, idx: int) -> np.random.RandomState:
-        """Per-sample augmentation stream: deterministic in (epoch seed,
-        sample index) regardless of fetch ORDER — so the BatchLoader can
-        decode samples on a thread pool, and multi-host loaders draw
-        identical augmentations for the same global sample."""
-        return np.random.RandomState(
-            (1_000_003 * (self.seed + 1) + idx) % (2 ** 31 - 1))
+        return sample_rng(self.seed, idx)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         si, frames = self.index[idx]

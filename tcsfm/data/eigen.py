@@ -14,6 +14,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from tcsfm.data.common import cached_frame, sample_rng
 from tcsfm.data.dataset import relative_lie_alg
 from tcsfm.data.transforms import WindowTransform
 
@@ -58,20 +59,15 @@ class EigenDataset:
         self.seed = seed
 
     def _load(self, row: int) -> np.ndarray:
-        # decoded-frame LRU — each row is read up to 3x (as target and as
-        # its neighbors' source); thread-safe under GIL-atomic dict ops
-        cache = self.__dict__.setdefault("_img_cache", {})
-        hit = cache.get(row)
-        if hit is not None:
-            return hit
-        from PIL import Image
+        # each row is read up to 3x (as target and as its neighbors' source)
+        def decode() -> np.ndarray:
+            from PIL import Image
 
-        with Image.open(str(self.files[row])) as im:
-            arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
-        if len(cache) >= 128:
-            cache.pop(next(iter(cache)))
-        cache[row] = arr
-        return arr
+            with Image.open(str(self.files[row])) as im:
+                return np.asarray(im.convert("RGB"), np.uint8)
+
+        return cached_frame(self.__dict__.setdefault("_img_cache", {}),
+                            row, decode)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         prev_row, next_row = self.sources[idx]
@@ -86,8 +82,7 @@ class EigenDataset:
 
         if self.transform is not None:
             (o_imgs, K_o, lie_o), (a_imgs, K_a, lie_a) = self.transform(
-                imgs, K, lie, np.random.RandomState(
-                    (1_000_003 * (self.seed + 1) + idx) % (2 ** 31 - 1)))
+                imgs, K, lie, sample_rng(self.seed, idx))
         else:
             (o_imgs, K_o, lie_o) = (imgs, K, lie)
             (a_imgs, K_a, lie_a) = (imgs, K, lie)

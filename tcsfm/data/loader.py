@@ -11,8 +11,9 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Sequence
+
+from tcsfm.data.common import decode_pool
 
 import numpy as np
 
@@ -70,11 +71,10 @@ class BatchLoader:
                 raise ValueError(
                     "multi-process loading requires drop_last=True")
         self.rng = np.random.RandomState(seed)
-        self._pool = (
-            ThreadPoolExecutor(max_workers=decode_threads,
-                               thread_name_prefix="tcsfm-decode")
-            if decode_threads > 0 else None
-        )
+        # shared daemon pool: loaders are constructed per epoch, so a pool
+        # per instance would leak threads
+        self._pool = decode_pool(decode_threads) if decode_threads > 0 \
+            else None
 
     def __len__(self) -> int:
         n = len(self.dataset)

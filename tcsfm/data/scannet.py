@@ -11,6 +11,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from tcsfm.data.common import sample_rng
 from tcsfm.data.dataset import SequenceData, relative_lie_alg
 from tcsfm.data.transforms import WindowTransform
 
@@ -49,8 +50,7 @@ class ScanNetTestDataset:
 
         if self.transform is not None:
             (o_imgs, K_o, lie_o), (a_imgs, K_a, lie_a) = self.transform(
-                imgs, K, lie, np.random.RandomState(
-                    (1_000_003 * (self.seed + 1) + idx) % (2 ** 31 - 1)))
+                imgs, K, lie, sample_rng(self.seed, idx))
         else:
             (o_imgs, K_o, lie_o) = (imgs, K, lie)
             (a_imgs, K_a, lie_a) = (imgs, K, lie)
