@@ -187,11 +187,17 @@ def solve_pose_iteratively(
     rec_target = imgs[..., 0:3]   # reconstruction target (first 3 channels)
     rec_source = imgs[..., 3:6]   # image being warped
 
-    img_rec, valid_mask, projected_depth, computed_depth = warp(
-        rec_source, target_depth_full, source_depth_full, -full_poses, K_full
-    )
+    if num_iter > 1 or return_errors:
+        img_rec, valid_mask, projected_depth, computed_depth = warp(
+            rec_source, target_depth_full, source_depth_full, -full_poses,
+            K_full
+        )
 
     stacked_poses = [full_poses]
+
+    def correct(full_poses, img_rec, valid_mask):
+        new_imgs = jnp.concatenate([rec_target * valid_mask, img_rec], axis=-1)
+        return full_poses + pose_apply(new_imgs)
 
     def iter_body(full_poses, img_rec, valid_mask):
         """One coupled refinement: pose correction from the residual
@@ -199,8 +205,7 @@ def solve_pose_iteratively(
         ``jax.checkpoint`` it — the backward then recomputes each
         iteration's pose-net activations and warp instead of storing all
         ``num_iter`` copies (the remat knob of VERDICT r1 item #9)."""
-        new_imgs = jnp.concatenate([rec_target * valid_mask, img_rec], axis=-1)
-        full_poses = full_poses + pose_apply(new_imgs)
+        full_poses = correct(full_poses, img_rec, valid_mask)
         img_rec, valid_mask, projected_depth, computed_depth = warp(
             rec_source, target_depth_full, source_depth_full, -full_poses,
             K_full,
@@ -209,11 +214,19 @@ def solve_pose_iteratively(
 
     if remat:
         iter_body = jax.checkpoint(iter_body)
+        correct = jax.checkpoint(correct)
 
-    # static unroll: num_iter is a compile-time constant
-    for _ in range(num_iter - 1):
-        (full_poses, img_rec, valid_mask, projected_depth,
-         computed_depth) = iter_body(full_poses, img_rec, valid_mask)
+    # static unroll: num_iter is a compile-time constant. The LAST
+    # iteration's re-warp only feeds the error products — skip it when
+    # they aren't requested (the reference warps iterations-1 times in
+    # the pose-only path, train_mono.py:69-80; identical poses, one
+    # fewer kernel launch per solve).
+    for it in range(num_iter - 1):
+        if it == num_iter - 2 and not return_errors:
+            full_poses = correct(full_poses, img_rec, valid_mask)
+        else:
+            (full_poses, img_rec, valid_mask, projected_depth,
+             computed_depth) = iter_body(full_poses, img_rec, valid_mask)
         stacked_poses.append(full_poses)
 
     stacked = jnp.stack(stacked_poses, axis=1)                # [2SB, I, 6]
