@@ -42,6 +42,19 @@ def main():
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # the remote-tunnel backend sporadically reports UNAVAILABLE for a
+    # while; retry init rather than recording a failed round
+    for attempt in range(8):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 7:
+                raise
+            print(f"# backend unavailable ({e}); retry {attempt + 1}/8 "
+                  f"in 120 s", flush=True)
+            time.sleep(120)
+
     import jax.numpy as jnp
 
     from tcsfm.config import Config
