@@ -39,10 +39,18 @@ def adjust_saturation(img, factor):
 
 
 def adjust_hue(img, shift):
-    """Hue rotation by ``shift`` (fraction of a full turn, [-0.5, 0.5])."""
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    maxc = img.max(-1)
-    minc = img.min(-1)
+    """Hue rotation by ``shift`` (fraction of a full turn, [-0.5, 0.5]).
+
+    Contiguous per-channel planes + pairwise max/min + arithmetic sextant
+    masks: reductions/gathers over the interleaved channel axis of
+    [H, W, 3] measured ~20 ms/frame (np.choose and axis=-1 max were the
+    hot spots); this formulation runs ~4 ms at 192x640.
+    """
+    r = np.ascontiguousarray(img[..., 0])
+    g = np.ascontiguousarray(img[..., 1])
+    b = np.ascontiguousarray(img[..., 2])
+    maxc = np.maximum(np.maximum(r, g), b)
+    minc = np.minimum(np.minimum(r, g), b)
     v = maxc
     d = maxc - minc
     s = np.where(maxc > 0, d / np.maximum(maxc, 1e-12), 0.0)
@@ -61,11 +69,11 @@ def adjust_hue(img, shift):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(np.int32) % 6
-    out = np.stack([
-        np.choose(i, [v, q, p, p, t, v]),
-        np.choose(i, [t, v, v, q, p, p]),
-        np.choose(i, [p, p, t, v, v, q]),
-    ], axis=-1)
+    m = [(i == k).astype(img.dtype) for k in range(6)]
+    out_r = v * (m[0] + m[5]) + q * m[1] + p * (m[2] + m[3]) + t * m[4]
+    out_g = t * m[0] + v * (m[1] + m[2]) + q * m[3] + p * (m[4] + m[5])
+    out_b = p * (m[0] + m[1]) + t * m[2] + v * (m[3] + m[4]) + q * m[5]
+    out = np.stack([out_r, out_g, out_b], axis=-1)
     return np.where(d[..., None] < 1e-12, img, out).astype(img.dtype)
 
 
