@@ -136,6 +136,22 @@ class TestMXUGridSample:
         m = cover[..., None]
         np.testing.assert_allclose(out * m, ref * m, atol=1e-5)
 
+    def test_partial_tail_tile(self):
+        """W=400 (Wp=512, 4 column tiles, the last one mostly padding):
+        chunk bases from the mixed real/pad tail tile stay exact."""
+        h, w = 16, 400
+        img = jnp.asarray(np.random.RandomState(11).rand(1, h, w, 2)
+                          .astype(np.float32))
+        rng = np.random.RandomState(12)
+        coords = _identity_coords(1, h, w)
+        coords += (0.02 * rng.randn(1, h, w, 2) * [1.0, 0.3]).astype(
+            np.float32)
+        out = grid_sample_mxu(img, jnp.asarray(coords), band=16,
+                              interpret=True)
+        ref = grid_sample(img, jnp.asarray(coords))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
     def test_band_diagnostic(self):
         coords = jnp.asarray(_identity_coords())
         ok = vertical_band_ok(coords, H, band=16)
