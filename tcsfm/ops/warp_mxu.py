@@ -65,15 +65,16 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
 
     Column banding: for each 128-wide tile of output columns, the source
     columns that its horizontal tents can touch span ≤ ~128 px of
-    parallax in practice, so only the (at most) 2 source chunks covering
-    [cb, cb+2*LANE) enter the matmul — the selector matrices for every
-    other chunk are identically zero. The static chunk loop + a scalar
-    ``pl.when`` keeps all slices lane-aligned; out-of-band pixels are
-    flagged by ``band_coverage_mask`` exactly like the vertical band.
+    parallax in practice, so only the 2-3 source chunks covering
+    [cb, cb+3*LANE) enter the matmul (the third conditionally, see
+    ``_col_bases``) — the selector matrices for every other chunk are
+    identically zero. The static chunk loop + a scalar ``pl.when`` keeps
+    all slices lane-aligned; out-of-band pixels are flagged by
+    ``band_coverage_mask`` exactly like the vertical band.
     """
     G = ROWS_PER_GROUP
     T = Wp // LANE
-    NCHUNK = min(2, T)           # chunks that [cb, cb+CB) spans
+    NCHUNK = min(3, T)           # chunks that [cb, cb+CB) can span
     exact_ch = tuple(sorted(exact_ch))
 
     def kernel(base_ref, cb_ref, x_ref, y_ref, img_ref, out_ref, s_scratch,
@@ -130,7 +131,9 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
                 pieces.append(xi_r + 1)
             xi_flat = jnp.concatenate(pieces, axis=1)       # [1, G*2*LANE]
 
-            cb0 = cb_ref[idx, t] // LANE                    # first chunk id
+            cbv = cb_ref[idx, t]
+            cb0 = cbv // LANE                               # first chunk id
+            n3 = cbv % 2                                    # third-chunk bit
             racc[...] = jnp.zeros_like(racc)
 
             def chunk_body(c):
@@ -142,9 +145,12 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
 
             for c in range(T):
                 if T > NCHUNK:
-                    # static chunk loop + scalar guard: only the (≤2)
-                    # chunks under [cb, cb+2*LANE) run their matmul
-                    pl.when((c == cb0) | (c == cb0 + 1))(
+                    # static chunk loop + scalar guard: the 2 chunks under
+                    # [cb, cb+2*LANE) always run; the third only when some
+                    # tap in the tile reaches it (near-identity warps
+                    # straddle the boundary; far-parallax tiles don't)
+                    pl.when((c == cb0) | (c == cb0 + 1)
+                            | ((c == cb0 + 2) & (n3 == 1)))(
                         functools.partial(chunk_body, c))
                 else:
                     chunk_body(c)
@@ -189,19 +195,36 @@ def _band_bases(y: jax.Array, H: int, BV: int) -> jax.Array:
 
 def _col_bases(x: jax.Array, W: int, Wp: int) -> jax.Array:
     """Horizontal chunk base per (8-row group, 128-col output tile):
-    128-aligned start of the (≤ 2·LANE)-wide source-column window that
+    128-aligned start of the (≤ 3·LANE)-wide source-column window that
     the tile's horizontal tents read. x: [B, H, Wp] pixel coords
-    (padded output columns hold far values). Returns [B·H/G, T] int32."""
+    (padded output columns hold far values).
+
+    The window is nominally 2 chunks; a THIRD chunk flag is packed into
+    the value's low bit when any tap reaches past base + 2·LANE — the
+    128-alignment of the base can waste up to 127 columns, and a
+    near-identity warp straddles the chunk boundary by a few pixels on
+    EVERY tile (taps at 128·t ± ε span chunks t-1, t, t+1), so a hard
+    2-chunk window would mask out ~1% of pixels at tile boundaries.
+
+    Returns [B·H/G, T] int32: 128-aligned base + need-third-chunk bit.
+    """
     B, Hh, Wpx = x.shape
     G = ROWS_PER_GROUP
     T = Wp // LANE
-    CB = LANE * min(2, T)
+    CB = LANE * min(3, T)
     xt = x.reshape(B, Hh // G, G, T, LANE)
     pushed = xt > (W + 0.5)          # OOB-pushed coords land at 1.5W - 0.5
-    x_eff = jnp.where(pushed, jnp.float32(W), xt)
-    xmin = jnp.min(x_eff, axis=(2, 4))                    # [B, H/G, T]
+    x_lo = jnp.where(pushed, jnp.float32(W), xt)
+    x_hi = jnp.where(pushed, jnp.float32(-W), xt)
+    xmin = jnp.min(x_lo, axis=(2, 4))                     # [B, H/G, T]
+    xmax = jnp.max(x_hi, axis=(2, 4))
     base = jnp.clip(jnp.floor(xmin), 0, max(Wp - CB, 0)).astype(jnp.int32)
-    return ((base // LANE) * LANE).reshape(B * (Hh // G), T)
+    base = (base // LANE) * LANE
+    # highest tap column actually read (in-image: taps outside [0, W-1]
+    # contribute zero under the padding semantics)
+    top = jnp.minimum(jnp.floor(xmax), W - 1.0).astype(jnp.int32) + 1
+    need3 = (top >= base + 2 * LANE).astype(jnp.int32)
+    return (base + need3).reshape(B * (Hh // G), T)
 
 
 def band_coverage_mask(coords: jax.Array, H: int, band: int,
@@ -234,15 +257,18 @@ def band_coverage_mask(coords: jax.Array, H: int, band: int,
     if W:
         B, Hh, Wx = y.shape
         T = Wp // LANE
-        CB = LANE * min(2, T)
+        CB = LANE * min(3, T)
         if CB >= Wp:
             return ok                 # single window covers every column
         x = ((coords[..., 0] + 1.0) * W - 1.0) * 0.5
         x_p = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - Wx)),
                       constant_values=jnp.float32(3 * Wp))
         cb = _col_bases(x_p, W, Wp).reshape(B, Hh // ROWS_PER_GROUP, T)
+        cb = (cb // LANE) * LANE      # strip the need-third-chunk bit
         cb = jnp.repeat(cb, ROWS_PER_GROUP, axis=1)       # [B, H, T]
         cb = jnp.repeat(cb, LANE, axis=2)[:, :, :Wx].astype(jnp.float32)
+        # the window is [cb, cb + 3*LANE): the third chunk runs exactly
+        # when some tap in the tile needs it (same _col_bases bit)
         xlo = jnp.maximum(jnp.floor(x), 0.0)
         xhi = jnp.minimum(jnp.ceil(x), W - 1.0)
         ok = ok & (xlo >= cb) & (xhi <= cb + CB - 1)
@@ -250,12 +276,12 @@ def band_coverage_mask(coords: jax.Array, H: int, band: int,
 
 
 def horizontal_band_ok(coords: jax.Array, W: int, Wp: int) -> jax.Array:
-    """Diagnostic: per-(group, tile) flag that the ≤2-chunk column window
+    """Diagnostic: per-(group, tile) flag that the ≤3-chunk column window
     covers all valid source columns (conservative on chunk alignment)."""
     x = ((coords[..., 0] + 1.0) * W - 1.0) * 0.5
     B, Hh, Wx = x.shape
     T = Wp // LANE
-    CB = LANE * min(2, T)
+    CB = LANE * min(3, T)
     if CB >= Wp:
         return jnp.ones((B, Hh // ROWS_PER_GROUP, 1), bool)
     pushed = x > (W + 0.5)

@@ -38,7 +38,7 @@ def _make_bwd_kernel(C: int, H: int, Wp: int, BV: int):
     sums over the 8 rows inside one dot_general)."""
     G = ROWS_PER_GROUP
     T = Wp // LANE
-    NCHUNK = min(2, T)
+    NCHUNK = min(3, T)
     NW = G * 2 * LANE                # (row, tap)-batched N width
 
     def kernel(base_ref, cb_ref, x_ref, y_ref, g_ref, img_ref, dimg_zero_ref,
@@ -107,7 +107,9 @@ def _make_bwd_kernel(C: int, H: int, Wp: int, BV: int):
                 w01_pieces.append((gty * fs[r]).astype(jnp.bfloat16))
             W01 = jnp.concatenate(w01_pieces, axis=1)       # [M, NW]
 
-            cb0 = cb_ref[idx, t] // LANE
+            cbv = cb_ref[idx, t]
+            cb0 = cbv // LANE
+            n3 = cbv % 2                    # third-chunk bit (_col_bases)
             racc[...] = jnp.zeros_like(racc)
 
             def chunk_body(c):
@@ -125,7 +127,8 @@ def _make_bwd_kernel(C: int, H: int, Wp: int, BV: int):
 
             for c in range(T):
                 if T > NCHUNK:
-                    pl.when((c == cb0) | (c == cb0 + 1))(
+                    pl.when((c == cb0) | (c == cb0 + 1)
+                            | ((c == cb0 + 2) & (n3 == 1)))(
                         functools.partial(chunk_body, c))
                 else:
                     chunk_body(c)

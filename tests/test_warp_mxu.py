@@ -110,17 +110,17 @@ class TestMXUGridSample:
                                    atol=1e-5)
 
     def test_wide_image_column_violation_flagged(self):
-        """A horizontal spread larger than the 2-chunk window is flagged by
+        """A horizontal spread larger than the 3-chunk window is flagged by
         the coverage mask, and every covered pixel still samples exactly."""
         from tcsfm.ops.warp_mxu import (band_coverage_mask, band_geometry,
                                         horizontal_band_ok)
-        h, w = 16, 384
+        h, w = 16, 640
         img = jnp.asarray(np.random.RandomState(10).rand(1, h, w, 2)
                           .astype(np.float32))
         coords = _identity_coords(1, h, w)
-        # horizontal stretch x ≈ 2.57·j: the source-column spread within
-        # one 128-col output tile is ~326 px > the 2-chunk window (256)
-        shift = np.linspace(0.0, 600.0, w).astype(np.float32)
+        # horizontal stretch x ≈ 3.35·j: the source-column spread within
+        # one 128-col output tile is ~425 px > the 3-chunk window (384)
+        shift = np.linspace(0.0, 1500.0, w).astype(np.float32)
         coords[..., 0] += 2 * shift / w
         coords = np.clip(coords, -1.0, 1.0)
         ok = horizontal_band_ok(jnp.asarray(coords), w,
@@ -150,7 +150,7 @@ class TestMXUGridSample:
                               interpret=True)
         ref = grid_sample(img, jnp.asarray(coords))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-5)
+                                   atol=2e-5)
 
     def test_band_diagnostic(self):
         coords = jnp.asarray(_identity_coords())
