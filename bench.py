@@ -3,17 +3,25 @@
 Measures the flagship path — depth network + 4-iteration coupled pose
 solver at the paper's 'med' resolution (192x640), reference batch size 6,
 2 source frames — the exact per-window work of VO evaluation
-(evaluate_vo_model.py) and the inner loop of training/PFT.
+(evaluate_vo_model.py) and the inner loop of training/PFT. Also measures
+the full training step (fwd + bwd + Adam) and PFT window refinement
+(20-epoch encoder-mode optimization, the paper's headline capability).
 
 Timing notes: under the remote-tunnel runtime, ``block_until_ready`` does
 not actually wait for device completion, so wall-clocking individual calls
-under-reports by orders of magnitude. Instead the forward is iterated K
-times inside ONE jitted ``lax.fori_loop`` with a data dependency between
-iterations, completion is forced by fetching a scalar, and two K values
-are differenced to cancel the fixed dispatch/fetch latency.
+under-reports by orders of magnitude. Instead completion is forced by
+fetching a scalar output, and the measured dispatch/fetch round-trip
+latency of a trivial kernel is subtracted.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N,
+   "train_step_ms": N, "train_frames_per_s": N, "pft_windows_per_s": N}
+
+Failure policy (round-3 fix): backend init retries are bounded by a TOTAL
+budget (~3 min, not 8x120s) and on persistent failure the JSON line is
+STILL emitted with ``"backend": "unavailable"`` so the round records why
+instead of nothing. Sub-benchmarks (train, PFT) are individually guarded:
+a failure there nulls that field but keeps the rest.
 
 The reference publishes no throughput numbers (SURVEY.md §6); its
 hardware-equivalent anchor is a single ~2019 CUDA GPU ("megalith"). We
@@ -25,48 +33,89 @@ from __future__ import annotations
 
 import json
 import time
+import traceback
 
 import numpy as np
 
 BASELINE_FPS = 30.0  # KITTI camera rate: "real time" for online VO
+RETRY_BUDGET_S = 180.0  # total backend-init retry budget (VERDICT r2 #1)
+RETRY_SLEEP_S = 30.0
+
+METRIC = {
+    "metric": "coupled_sfm_inference_med_res_4iter",
+    "value": 0.0,
+    "unit": "frames/s/chip",
+    "vs_baseline": 0.0,
+}
+
+
+def emit(payload):
+    print(json.dumps(payload), flush=True)
+
+
+def init_backend():
+    """Initialize the JAX backend under a bounded total retry budget.
+
+    Returns the device list, or raises after RETRY_BUDGET_S seconds of
+    persistent failure. The remote-tunnel backend sporadically reports
+    UNAVAILABLE for a while; round 2 lost its bench to an unbounded
+    8x120s retry loop here (BENCH_r02.json rc=124)."""
+    import jax
+
+    deadline = time.monotonic() + RETRY_BUDGET_S
+    attempt = 0
+    while True:
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            attempt += 1
+            remaining = deadline - time.monotonic()
+            if remaining <= RETRY_SLEEP_S:
+                raise
+            print(f"# backend unavailable ({e}); retry {attempt} "
+                  f"({remaining:.0f}s of budget left)", flush=True)
+            time.sleep(RETRY_SLEEP_S)
 
 
 def main():
     import os
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.jax_cache"))
-    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
 
     import jax
 
+    # config.update, NOT just the env var: on this backend the env-var
+    # path left the write side "disabled/not initialized" (measured —
+    # zero entries after full compiles) while the explicit config works
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    # the remote-tunnel backend sporadically reports UNAVAILABLE for a
-    # while; retry init rather than recording a failed round
-    for attempt in range(8):
-        try:
-            jax.devices()
-            break
-        except RuntimeError as e:
-            if attempt == 7:
-                raise
-            print(f"# backend unavailable ({e}); retry {attempt + 1}/8 "
-                  f"in 120 s", flush=True)
-            time.sleep(120)
+    try:
+        init_backend()
+    except Exception as e:  # noqa: BLE001 — record WHY, don't drop the round
+        emit({**METRIC, "backend": "unavailable", "error": str(e)[:300]})
+        return
 
     import jax.numpy as jnp
 
-    from tcsfm.config import Config
+    from tcsfm.config import Config, PFTOptions
     from tcsfm.solver.coupled import solve_disp, solve_pose_iteratively
     from tcsfm.train.trainer import create_train_state
     from tcsfm.utils.helpers import disp_to_depth
 
+    t_start = time.monotonic()
+
+    def stage(msg):
+        print(f"# [{time.monotonic() - t_start:6.1f}s] {msg}", flush=True)
+
     H, W = 192, 640
     B, S, ITERS = 6, 2, 4
     cfg = Config(iterations=ITERS, num_scales=1, minibatch=B,
-                 compute_dtype="bfloat16")
+                 compute_dtype="bfloat16", use_mxu_warp=True)
 
+    stage("init models")
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=100)
     params, batch_stats = state.params, state.batch_stats
@@ -117,8 +166,10 @@ def main():
     )
 
     # warm + compile
+    stage("compile forward")
     float(step(*args))
     float(noop(jnp.float32(0.0)))
+    stage("measure forward")
 
     def measure(fn, fargs, reps):
         best = float("inf")
@@ -135,45 +186,85 @@ def main():
     per_call = max(total - latency, 1e-6)
     frames_per_s = B / per_call
 
-    # --- full TRAIN step (depth -> coupled solver -> loss -> grads -> Adam;
-    # the workload the scaling north star is about, VERDICT r1 item #9) ----
-    from tcsfm.train.trainer import make_train_step
-
-    train_cfg = cfg.replace(use_mxu_warp=True)
-    train_step_fn = make_train_step(train_cfg, depth_model, pose_model)
-    batch = {
-        "target_img": args[2], "target_img_aug": args[2],
-        "source_imgs": args[3], "source_imgs_aug": args[3],
-        "intrinsics": args[4], "intrinsics_aug": args[4],
-        "gt_lie_alg": jnp.zeros((S, B, 6), jnp.float32),
-        "gt_lie_alg_aug": jnp.zeros((S, B, 6), jnp.float32),
-        "vo_lie_alg": jnp.zeros((S, B, 6), jnp.float32),
-        "vo_lie_alg_aug": jnp.zeros((S, B, 6), jnp.float32),
-        "dt": jnp.full((S, B), 0.1, jnp.float32),
+    result = {
+        **METRIC,
+        "value": round(frames_per_s, 2),
+        "vs_baseline": round(frames_per_s / BASELINE_FPS, 2),
+        "train_step_ms": None,
+        "train_frames_per_s": None,
+        "pft_windows_per_s": None,
     }
 
-    def train_once(st):
-        st, losses = train_step_fn(st, batch)
-        float(losses["total"])      # fetch forces the full chain
-        return st
+    # --- full TRAIN step (depth -> coupled solver -> loss -> grads -> Adam;
+    # the workload the scaling north star is about, VERDICT r1 item #9) ----
+    stage("compile train step")
+    try:
+        from tcsfm.train.trainer import make_train_step
 
-    state = train_once(state)       # compile + warmup
-    best = float("inf")
-    for _ in range(6):
-        t0 = time.perf_counter()
-        state = train_once(state)
-        best = min(best, time.perf_counter() - t0)
-    train_per_call = max(best - latency, 1e-6)
-    train_fps = B / train_per_call
+        train_step_fn = make_train_step(cfg, depth_model, pose_model)
+        batch = {
+            "target_img": args[2], "target_img_aug": args[2],
+            "source_imgs": args[3], "source_imgs_aug": args[3],
+            "intrinsics": args[4], "intrinsics_aug": args[4],
+            "gt_lie_alg": jnp.zeros((S, B, 6), jnp.float32),
+            "gt_lie_alg_aug": jnp.zeros((S, B, 6), jnp.float32),
+            "vo_lie_alg": jnp.zeros((S, B, 6), jnp.float32),
+            "vo_lie_alg_aug": jnp.zeros((S, B, 6), jnp.float32),
+            "dt": jnp.full((S, B), 0.1, jnp.float32),
+        }
 
-    print(json.dumps({
-        "metric": "coupled_sfm_inference_med_res_4iter",
-        "value": round(frames_per_s, 2),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(frames_per_s / BASELINE_FPS, 2),
-        "train_step_ms": round(train_per_call * 1e3, 1),
-        "train_frames_per_s": round(train_fps, 2),
-    }))
+        def train_once(st):
+            st, losses = train_step_fn(st, batch)
+            float(losses["total"])      # fetch forces the full chain
+            return st
+        state = train_once(state)       # compile + warmup
+        best = float("inf")
+        for _ in range(6):
+            t0 = time.perf_counter()
+            state = train_once(state)
+            best = min(best, time.perf_counter() - t0)
+        train_per_call = max(best - latency, 1e-6)
+        result["train_step_ms"] = round(train_per_call * 1e3, 1)
+        result["train_frames_per_s"] = round(B / train_per_call, 2)
+    except Exception:  # noqa: BLE001 — keep the forward number
+        traceback.print_exc()
+
+    # --- PFT window refinement (20-epoch encoder-mode optimization; the
+    # paper's headline capability — VERDICT r2 #1/#7 asked for this field) --
+    # guarded by a wall-clock check: never let a cold PFT compile push the
+    # whole bench past the driver budget — emit what we have instead
+    stage("compile PFT")
+    if time.monotonic() - t_start > 420.0:
+        stage("skipping PFT (wall-clock budget)")
+        emit(result)
+        return
+    try:
+        from tcsfm.solver.pft import PFTOptimizer
+
+        opts = PFTOptions(epochs=20, num_source_imgs=S)
+        pft = PFTOptimizer(cfg, opts, depth_model, pose_model,
+                           mode="encoder")
+        pft_batch = {"target_img": args[2], "source_imgs": args[3],
+                     "intrinsics": args[4]}
+
+        def pft_once():
+            r = pft.optimize_window_jit(pft_batch, params["depth"],
+                                        params["pose"], batch_stats)
+            float(jnp.sum(r.poses_opt) + jnp.sum(r.disp_opt))
+            return r
+        pft_once()                      # compile + warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pft_once()
+            best = min(best, time.perf_counter() - t0)
+        pft_per_call = max(best - latency, 1e-6)
+        # B independent target frames refined per call = B windows
+        result["pft_windows_per_s"] = round(B / pft_per_call, 2)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc()
+
+    emit(result)
 
 
 if __name__ == "__main__":

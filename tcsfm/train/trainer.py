@@ -80,16 +80,26 @@ def create_train_state(cfg: Config, rng: jax.Array,
         num_scales=cfg.num_scales, dtype=jnp.dtype(cfg.compute_dtype))
     pose_model = pose_model or PoseNet(dtype=jnp.dtype(cfg.compute_dtype))
 
-    k1, k2 = jax.random.split(rng)
-    dvars = depth_model.init(k1, jnp.zeros((1, h, w, 3)))
-    pvars = pose_model.init(k2, jnp.zeros((1, h, w, cfg.pose_input_channels)))
-
-    params = {"depth": dvars["params"], "pose": pvars["params"]}
-    batch_stats = dvars.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg, steps_per_epoch)
+
+    # ONE jitted init program. Un-jitted flax init traces the forward
+    # EAGERLY — hundreds of per-op dispatches, each paying remote-tunnel
+    # compile+round-trip latency (measured 250-340 s vs seconds jitted),
+    # and none of it lands in the persistent compile cache.
+    @jax.jit
+    def _init(rng):
+        k1, k2 = jax.random.split(rng)
+        dvars = depth_model.init(k1, jnp.zeros((1, h, w, 3)))
+        pvars = pose_model.init(
+            k2, jnp.zeros((1, h, w, cfg.pose_input_channels)))
+        params = {"depth": dvars["params"], "pose": pvars["params"]}
+        batch_stats = dvars.get("batch_stats", FrozenDict())
+        return params, batch_stats, tx.init(params)
+
+    params, batch_stats, opt_state = _init(rng)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params,
-        batch_stats=batch_stats, opt_state=tx.init(params), tx=tx,
+        batch_stats=batch_stats, opt_state=opt_state, tx=tx,
     )
     return state, depth_model, pose_model
 
