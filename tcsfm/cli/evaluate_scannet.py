@@ -110,28 +110,27 @@ def main(argv=None):
         comb = (fwd - inv) / 2.0
         n = int(valid.sum())
         for i in range(n):
-            if "gt_depth" not in batch:
-                continue
-            pred_disps.append(disp_t[i])
-            gt_depths.append(batch["gt_depth"][i])
-            # pair (pred, gt) pose matrices at collection time — collecting
-            # them under different conditions would misalign the pose
-            # metrics when scenes mix depth-GT and pose-GT availability
+            # depth and pose pairs are collected INDEPENDENTLY: a scene
+            # with pose GT but no depth GT (or vice versa) keeps its
+            # metrics, and mixed availability across batches can't
+            # misalign the (gt, pred) pairing
+            if "gt_depth" in batch:
+                pred_disps.append(disp_t[i])
+                gt_depths.append(batch["gt_depth"][i])
             if "gt_pose_mats" in batch:
                 pred_mats.append(np_se3_exp(comb[i]))
                 gt_mats.append(batch["gt_pose_mats"][i, 0])
 
     depth_results, pose_results = [], []
-    for i, (gt_d, disp) in enumerate(zip(gt_depths, pred_disps)):
+    for gt_d, disp in zip(gt_depths, pred_disps):
         gt_h, gt_w = gt_d.shape[:2]
         disp_r = _resize_bilinear(np.asarray(disp, np.float32), gt_h, gt_w)
         pred_depth = 30.0 / disp_r                                 # (:161)
         scale = compute_scaling_factor(gt_d, pred_depth)
         depth_results.append(
             compute_depth_errors_scannet(gt_d, scale * pred_depth))
-        if gt_mats:
-            pose_results.append(
-                compute_pose_errors_deepv2d(gt_mats[i], pred_mats[i]))
+    for gt_m, pred_m in zip(gt_mats, pred_mats):
+        pose_results.append(compute_pose_errors_deepv2d(gt_m, pred_m))
 
     out = {}
     if depth_results:

@@ -26,10 +26,12 @@ def cached_frame(cache: Dict, key, decode: Callable[[], np.ndarray],
     times; caching kills (L-1)/L of the JPEG decodes. ``decode`` must
     return the uint8 image; frames are cached as uint8 (4x less host RAM
     than float32) and converted to float32/255 on every access (a ~ms
-    conversion vs a ~10 ms decode). Thread-safe under the decode pool: a
-    racing miss decodes twice, and eviction tolerates a
-    concurrently-removed key."""
-    hit = cache.get(key)
+    conversion vs a ~10 ms decode). A hit is re-inserted at the back of
+    the dict so eviction order is true LRU, not FIFO. Thread-safe under
+    the decode pool: two threads racing on the same key decode twice,
+    and eviction tolerates a concurrently-removed key."""
+    # pop+reinsert refreshes recency; the default tolerates a racing evict
+    hit = cache.pop(key, None)
     if hit is None:
         hit = decode()
         if len(cache) >= max_frames:
@@ -37,7 +39,7 @@ def cached_frame(cache: Dict, key, decode: Callable[[], np.ndarray],
                 cache.pop(next(iter(cache)), None)
             except (StopIteration, RuntimeError):
                 pass                 # another thread mutated it — fine
-        cache[key] = hit
+    cache[key] = hit
     return np.asarray(hit, np.float32) / 255.0
 
 
@@ -47,8 +49,14 @@ _DECODE_POOL: ThreadPoolExecutor | None = None
 
 
 def decode_pool(threads: int) -> ThreadPoolExecutor:
+    """Shared pool, grown on demand: a later loader asking for MORE
+    threads than the pool was created with gets a bigger pool (the old
+    one drains its in-flight work and is garbage-collected); asking for
+    fewer reuses the existing one."""
     global _DECODE_POOL
-    if _DECODE_POOL is None:
+    if _DECODE_POOL is None or threads > _DECODE_POOL._max_workers:
+        if _DECODE_POOL is not None:
+            _DECODE_POOL.shutdown(wait=False)
         _DECODE_POOL = ThreadPoolExecutor(max_workers=threads,
                                           thread_name_prefix="tcsfm-decode")
     return _DECODE_POOL

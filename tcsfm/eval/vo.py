@@ -110,8 +110,19 @@ class VOEvaluator:
                              pad_tail=True, prefetch=2)
 
         fwd, inv, gts, scales = [], [], [], []
-        # dispatch all batches asynchronously (host loading overlaps device
-        # inference via the prefetch thread), fetch after the last dispatch
+
+        def drain(entry):
+            n, gt, (poses, poses_inv, scale) = entry
+            fwd.append(np.asarray(poses[0])[:n])
+            inv.append(np.asarray(poses_inv[0])[:n])
+            gts.append(gt[:n])
+            scales.append(np.asarray(scale)[:n])
+
+        # bounded async pipeline (depth 2, same pattern as
+        # run_sequential_pft): dispatch ahead so host loading overlaps
+        # device inference, but drain eagerly — an unbounded pending list
+        # keeps every batch's ~25MB input buffers live on device at once
+        # (~5GB for KITTI seq 09)
         pending = []
         for batch in loader:
             valid = batch.pop("_valid")
@@ -122,11 +133,10 @@ class VOEvaluator:
                 jnp.asarray(batch["intrinsics"]),
             )
             pending.append((int(valid.sum()), batch["gt_lie_alg"][0], out))
-        for n, gt, (poses, poses_inv, scale) in pending:
-            fwd.append(np.asarray(poses[0])[:n])
-            inv.append(np.asarray(poses_inv[0])[:n])
-            gts.append(gt[:n])
-            scales.append(np.asarray(scale)[:n])
+            while len(pending) > 2:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
 
         fwd = np.concatenate(fwd)
         inv = np.concatenate(inv)
