@@ -52,6 +52,15 @@ def _chain_refine_sequence(seq, args, cfg, state, depth_model, pose_model):
         return disp_to_depth(disp, cfg.min_depth, cfg.max_depth)[1]
 
     @jax.jit
+    def scales_of(d):
+        # PER-FRAME ground-plane scale (vmap over the chunk): one batch
+        # median would share a single factor across the whole chunk and
+        # let padded duplicate tail rows bias it
+        return jax.vmap(
+            lambda di: scale_recovery(di[None], K1[None],
+                                      cfg.camera_height / 30.0))(d)
+
+    @jax.jit
     def window_init(params, batch_stats, tgt, srcs, dps, K):
         pvars = {"params": params["pose"]}
         pose_apply = lambda im: pose_model.apply(pvars, im)     # noqa
@@ -69,10 +78,9 @@ def _chain_refine_sequence(seq, args, cfg, state, depth_model, pose_model):
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
         d = depth_of(state.params, state.batch_stats, jnp.asarray(chunk))
-        s = scale_recovery(d, jnp.broadcast_to(K1, (ch, 3, 3)),
-                           cfg.camera_height / 30.0)
+        s = scales_of(d)
         depths.append(np.asarray(d)[:ch - pad])
-        scales.append(np.broadcast_to(np.asarray(s), (ch,))[:ch - pad])
+        scales.append(np.asarray(s).reshape(ch)[:ch - pad])
     depths_np = np.concatenate(depths)                      # [N, H, W, 1]
     frame_scale = np.concatenate(scales)                    # [N]
 
@@ -202,7 +210,7 @@ def main(argv=None):
 
     if args.refiner == "ba":
         from tcsfm.eval.scale_recovery import scale_recovery
-        from tcsfm.solver.ba import photometric_ba
+        from tcsfm.solver.ba import window_ba
         from tcsfm.solver.coupled import solve_disp, solve_pose_iteratively
         from tcsfm.utils.helpers import disp_to_depth
 
@@ -221,17 +229,22 @@ def main(argv=None):
                 cfg.iterations, depths, pose_apply, target_img, source_imgs,
                 K, use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
                 mxu_band_guard=cfg.mxu_band_guard)
-            # direct BA on the forward/inverse pairs of source 1 (next frame)
-            fwd = photometric_ba(
-                poses[1], depths[0], target_img, source_imgs[1], depths[2],
-                K, iters=args.epochs // 2, depth_prior_weight=0.1)
-            inv = photometric_ba(
-                poses_inv[1], depths[2], source_imgs[1], target_img,
-                depths[0], K, iters=args.epochs // 2, depth_prior_weight=0.1)
-            # DNet scale from the target depth (BA leaves depth near-initial,
-            # so one factor serves both the initial and refined poses)
-            scale = scale_recovery(depths[0], K, cfg.camera_height / 30.0)
-            return poses, poses_inv, fwd, inv, scale
+            # joint window BA: BOTH pair constraints (target vs prev and
+            # target vs next) share the target depth — no source is
+            # discarded (VERDICT r2 #6; solver/ba.py::window_ba). The
+            # refined prev edge of window t+1 re-measures the next edge of
+            # window t, so the inverse-direction estimate comes from the
+            # NEIGHBOR window's BA instead of a separate inverse solve.
+            res = window_ba(
+                poses[0], poses[1], depths[0], target_img,
+                source_imgs[0], source_imgs[1], depths[1], depths[2], K,
+                iters=args.epochs // 2, depth_prior_weight=0.1)
+            scale_init = scale_recovery(depths[0], K,
+                                        cfg.camera_height / 30.0)
+            # BA refines the target depth jointly — rescale from it
+            scale_opt = scale_recovery(res.depth, K,
+                                       cfg.camera_height / 30.0)
+            return poses, poses_inv, res, scale_init, scale_opt
 
     results = {}
     for seq_name in (["synthetic"] if args.synthetic else args.seqs):
@@ -276,7 +289,7 @@ def main(argv=None):
                              drop_last=False, pad_tail=True)
 
         init_poses, opt_poses, init_inv, opt_inv, losses = [], [], [], [], []
-        info_f, info_i = [], []
+        info_f, info_i, cost_last = [], [], []
         scales_init, scales_opt = [], []
         # dispatch window batches asynchronously with a bounded pipeline
         # (depth 2): host loading overlaps device PFT via BatchLoader's
@@ -289,16 +302,19 @@ def main(argv=None):
         def drain_one():
             n, out = pending.popleft()
             if args.refiner == "ba":
-                poses, poses_inv, fwd, inv, scale = out
+                poses, poses_inv, res, s_init, s_opt = out
                 init_poses.append(np.asarray(poses[1])[:n])
-                opt_poses.append(np.asarray(fwd.pose)[:n])
                 init_inv.append(np.asarray(poses_inv[1])[:n])
-                opt_inv.append(np.asarray(inv.pose)[:n])
-                info_f.append(np.asarray(fwd.pose_info)[:n])
-                info_i.append(np.asarray(inv.pose_info)[:n])
-                losses.append(np.asarray(fwd.cost).mean(axis=1))
-                scales_init.append(np.full(n, float(scale)))
-                scales_opt.append(np.full(n, float(scale)))
+                # window target t: pose_next measures edge t->t+1,
+                # pose_prev measures t->t-1 (the NEXT edge of window t-1)
+                opt_poses.append(np.asarray(res.pose_next)[:n])
+                opt_inv.append(np.asarray(res.pose_prev)[:n])
+                info_f.append(np.asarray(res.S_bb)[:n])
+                info_i.append(np.asarray(res.S_aa)[:n])
+                cost_last.append(np.asarray(res.cost[-1])[:n])
+                losses.append(np.asarray(res.cost).mean(axis=1))
+                scales_init.append(np.full(n, float(s_init)))
+                scales_opt.append(np.full(n, float(s_opt)))
             else:
                 res = out
                 # source 1 is the NEXT frame (forward in time)
@@ -345,15 +361,26 @@ def main(argv=None):
 
         pose_init = fuse(init_poses, init_inv, sc_init)
         if args.refiner == "ba":
-            # information-weighted fusion from the depth-marginalized
-            # Gauss-Newton Hessians (upgrade of the reference's (f-i)/2)
+            # cross-window information fusion: edge (t, t+1) is measured
+            # twice — by window t's refined next pose and window t+1's
+            # refined prev pose (≈ the negated twist). Fuse with the
+            # depth-marginalized reduced informations, residual-variance
+            # weighted per window (same gate as sequence_ba) — the
+            # BA-grade upgrade of the reference's (fwd - inv)/2.
             from tcsfm.solver.ba import fuse_pose_estimates
 
-            pose_opt = np.array(fuse_pose_estimates(
-                jnp.asarray(np.concatenate(opt_poses)),
-                jnp.asarray(np.concatenate(info_f)),
-                jnp.asarray(np.concatenate(opt_inv)),
-                jnp.asarray(np.concatenate(info_i))))
+            xi_next = np.concatenate(opt_poses)        # [Nw, 6] t -> t+1
+            xi_prev = np.concatenate(opt_inv)          # [Nw, 6] t -> t-1
+            i_next = np.concatenate(info_f)
+            i_prev = np.concatenate(info_i)
+            npix = 2.0 * np.prod(seq.images[0].shape)  # joint 2-pair cost
+            var = np.maximum(np.concatenate(cost_last) / npix, 1e-12)
+            i_next = i_next / var[:, None, None]
+            i_prev = i_prev / var[:, None, None]
+            fused_mid = np.asarray(fuse_pose_estimates(
+                jnp.asarray(xi_next[:-1]), jnp.asarray(i_next[:-1]),
+                jnp.asarray(xi_prev[1:]), jnp.asarray(i_prev[1:])))
+            pose_opt = np.concatenate([fused_mid, xi_next[-1:]])
             pose_opt[:, 0:3] *= (30.0 * sc_opt)[:, None]
         else:
             pose_opt = fuse(opt_poses, opt_inv, sc_opt)
