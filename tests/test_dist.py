@@ -104,3 +104,30 @@ class TestScalingHarness:
             assert np.isfinite(r["frames_per_s"]) and r["frames_per_s"] > 0
             assert np.isfinite(r["efficiency"])
         assert rows[0]["efficiency"] == pytest.approx(1.0)
+
+
+class TestMultiProcessLaunch:
+    def test_two_process_train_step_parity(self):
+        """The multi-host path with REAL process_count == 2 (VERDICT r2
+        #3): two local processes start the coordination service, each
+        feeds its slice of the global batch through
+        shard_process_local_batch, the jitted DP train step runs
+        cross-process collectives, and the loss matches a 1-process run
+        of the identical global batch."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        script = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "mp_train_step.py")
+        r = subprocess.run(
+            [sys.executable, script, "--procs", "2",
+             "--devices_per_proc", "2"],
+            capture_output=True, text=True, timeout=560)
+        assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+        d = json.loads(line)
+        assert d["procs"] == 2
+        assert d["rel_delta"] <= 1e-4
