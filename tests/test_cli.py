@@ -300,3 +300,59 @@ class TestGoldenEvalRealPath:
         # 09_02 has published anchors -> every row carries a baseline+tol
         assert all(r["baseline"] is not None and "tol" in r for r in rows)
         assert all(r["status"] in ("PASS", "FAIL") for r in rows)
+
+
+class TestSyntheticGateSensitivity:
+    """Gate-sensitivity proof (VERDICT r2 #4): on the CI seed's MEASURED
+    metrics (recorded from the round-3 `golden_eval --synthetic` run),
+    the default gates pass — and a simulated 10% regression
+    (inject_regression=1.1) fails EVERY gate. The thresholds are
+    calibrated <10% above the achieved values (see apply_synthetic_gates
+    for the cross-draw calibration notes)."""
+
+    RAW = {
+        "rot_err_untrained": 0.03290562331676483,
+        "rot_err_trained": 0.014066262170672417,
+        "abs_rel_trained": 1.7235292196273804,
+        "abs_rel_untrained": 2.538533926010132,
+        "pft_loss_first": 0.02281472273170948,
+        "pft_loss_last": 0.02033870853483677,
+        "ate_pft_init": 0.308,
+        "ate_pft_opt": 0.307,
+        "trans_dir_err_untrained": 0.2064848095178604,
+        "trans_dir_err_trained": 0.42753154039382935,
+        "ate_untrained": 0.218,
+        "ate_trained": 0.263,
+        "train_loss_first": 0.5809481008486315,
+        "train_loss_last": 0.34029692953283136,
+    }
+    DEFAULTS = dict(train_gate=0.46, depth_gate=1.85, pft_gate=1.05,
+                    pft_loss_gate=0.95)
+
+    def test_defaults_match_cli(self):
+        """The fixture thresholds ARE the CLI defaults — recalibrating one
+        without the other fails here."""
+        import inspect
+
+        from tcsfm.cli import golden_eval
+
+        src = inspect.getsource(golden_eval.main)
+        for flag, val in (("--train_gate", "0.46"), ("--depth_gate", "1.85"),
+                          ("--pft_gate", "1.05"), ("--pft_loss_gate", "0.95")):
+            assert f'"{flag}"' in src and f"default={val}" in src, flag
+
+    def test_measured_values_pass(self):
+        from tcsfm.cli.golden_eval import apply_synthetic_gates
+
+        out = apply_synthetic_gates(self.RAW, **self.DEFAULTS,
+                                    inject_regression=1.0)
+        assert out["pass"], out["gates"]
+
+    def test_10pct_regression_fails_every_gate(self):
+        from tcsfm.cli.golden_eval import apply_synthetic_gates
+
+        out = apply_synthetic_gates(self.RAW, **self.DEFAULTS,
+                                    inject_regression=1.1)
+        assert not out["pass"]
+        assert not any(out["gates"].values()), (
+            f"every gate must catch a 10% regression: {out['gates']}")
