@@ -200,12 +200,41 @@ class SubpixelUpConv(nn.Module):
                              name="Conv_0")(x, phase_form=phase_form)
 
 
+def _s2d16_embedding(k: int, pad: int):
+    """Static 0/1 embedding E[kx, q, p, j] for the width-space-to-depth
+    stride-2 conv rewrite (see WSConv): output x = 8*xk + j reads input
+    x = 16*xk + d with d = 2j + kx - pad, and d maps to s2d column
+    q ∈ {0,1,2} (xk-1, xk, xk+1) at plane p = d - 16*(q-1)."""
+    import numpy as np
+
+    E = np.zeros((k, 3, 16, 8), np.float32)
+    for q in range(3):
+        for p in range(16):
+            d = p + 16 * (q - 1)
+            for j in range(8):
+                kx = d - 2 * j + pad
+                if 0 <= kx < k:
+                    E[kx, q, p, j] = 1.0
+    return E
+
+
 class WSConv(nn.Module):
     """Weight-standardized conv (pose_models.py:10-25).
 
     Per-output-channel: subtract the kernel mean and divide by the *sample*
     standard deviation (Bessel-corrected, +1e-5), exactly like the torch
     ``weight.view(O,-1).std(dim=1)`` in the reference. Zero padding.
+
+    Lane-starved stride-2 entry convs (the pose net's 7x7s2 6->16 runs at
+    ~12.5% MXU lane use: N = 16 of 128 lanes) take an EXACT
+    width-space-to-depth rewrite: fold 16 input columns into channels
+    (6 -> 96 in), embed the kernel so each matmul produces 8 output
+    columns x C_out = full 128 lanes, and un-fold by reshape (the (xk, j)
+    dims are already adjacent — no transpose). 48/k x redundant FLOPs
+    (zeros in the embedded kernel) but measured 1.21 -> 0.36 ms on the
+    pose conv1 at med-res — the same few-big-dense-ops lesson as the
+    column-banded warp selectors. Same multiply-adds in a different
+    grouping: equal to the literal conv up to f32 accumulation order.
     """
 
     features: int
@@ -228,12 +257,29 @@ class WSConv(nn.Module):
         var = jnp.sum(wc * wc, axis=(0, 1, 2), keepdims=True) / (n - 1)
         w = wc / (jnp.sqrt(var) + 1e-5)
 
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w.astype(self.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        W = x.shape[2]
+        use_s2d = (self.stride == 2 and self.padding == (self.kernel - 1) // 2
+                   and in_ch <= 8 and W % 16 == 0 and W >= 32)
+        if use_s2d:
+            E = jnp.asarray(_s2d16_embedding(self.kernel, self.padding))
+            # [k, kx, ci, co] x [kx, q, p, j] -> [k, q, (p, ci), (j, co)]
+            k_emb = jnp.einsum("yxic,xqpj->yqpijc", w, E).reshape(
+                self.kernel, 3, 16 * in_ch, 8 * self.features)
+            v = x.astype(self.dtype).reshape(
+                x.shape[0], x.shape[1], W // 16, 16 * in_ch)
+            y = jax.lax.conv_general_dilated(
+                v, k_emb.astype(self.dtype), (2, 1),
+                [(self.padding, self.padding), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y.reshape(y.shape[0], y.shape[1], W // 2, self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32)

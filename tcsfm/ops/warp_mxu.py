@@ -86,16 +86,16 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
         # the strided DMA slice is provably tile-aligned
         base = pl.multiple_of(base_ref[idx], 8)
 
-        # 1. DMA the vertical band, one strided copy per channel:
-        #    img[b, ch, base:base+BV, :] -> s_scratch[ch*BV:(ch+1)*BV, :]
-        for ch in range(C):
-            dma = pltpu.make_async_copy(
-                img_ref.at[b, ch, pl.ds(base, BV), :],
-                s_scratch.at[pl.ds(ch * BV, BV), :],
-                sem,
-            )
-            dma.start()
-            dma.wait()
+        # 1. DMA the vertical band: ONE strided [C, BV, Wp] copy (fused
+        #    across channels — C separate copies paid C issue/wait
+        #    round-trips for the same bytes)
+        dma = pltpu.make_async_copy(
+            img_ref.at[b, :, pl.ds(base, BV), :],
+            s_scratch,
+            sem,
+        )
+        dma.start()
+        dma.wait()
 
         basef = base.astype(jnp.float32)
         # Mosaic iota must be integer-typed; cast to f32 where needed
@@ -110,7 +110,9 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
         #    the matmul. Channels in ``exact_ch`` append an S_lo residual
         #    block so two plain-bf16 MXU passes reconstruct full f32
         #    accuracy; the rest sample from S_hi alone.
-        S = s_scratch[:, :]
+        # [C, BV, Wp] → [C*BV, Wp]: merging C into sublanes is layout-free
+        # (BV is a sublane multiple)
+        S = s_scratch[...].reshape(C * BV, Wp)
         S_hi = S.astype(jnp.bfloat16)
         M = C * BV
         if exact_ch:
@@ -395,7 +397,7 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
                                lambda b, g, base, cb: (b, 0, g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((C * BV, Wp), jnp.float32),
+            pltpu.VMEM((C, BV, Wp), jnp.float32),
             pltpu.VMEM((R, G * 2 * LANE), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],

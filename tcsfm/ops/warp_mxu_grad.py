@@ -49,22 +49,22 @@ def _make_bwd_kernel(C: int, H: int, Wp: int, BV: int):
         idx = b * (H // G) + g_idx
         base = pl.multiple_of(base_ref[idx], 8)
 
-        # source band DMA (as in the forward)
-        for ch in range(C):
-            dma = pltpu.make_async_copy(
-                img_ref.at[b, ch, pl.ds(base, BV), :],
-                s_scratch.at[pl.ds(ch * BV, BV), :],
-                sem,
-            )
-            dma.start()
-            dma.wait()
+        # source band DMA: one fused strided [C, BV, Wp] copy (forward's
+        # round-3 fix — C separate copies paid C issue/wait round-trips)
+        dma = pltpu.make_async_copy(
+            img_ref.at[b, :, pl.ds(base, BV), :],
+            s_scratch,
+            sem,
+        )
+        dma.start()
+        dma.wait()
 
         basef = base.astype(jnp.float32)
         v_ids = lax.broadcasted_iota(jnp.int32, (BV, LANE), 0).astype(
             jnp.float32)
         ci = lax.broadcasted_iota(jnp.int32, (LANE, NW), 0)
 
-        S = s_scratch[:, :]
+        S = s_scratch[...].reshape(C * BV, Wp)
         S_hi = S.astype(jnp.bfloat16)
         S_lo = (S - S_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         S2 = jnp.concatenate([S_hi, S_lo], axis=0)          # hi/lo split:
@@ -142,23 +142,23 @@ def _make_bwd_kernel(C: int, H: int, Wp: int, BV: int):
                 dx_ref[0, r, sl] = jnp.sum(gtys[r] * (Rs - Rm), axis=0)
                 dy_ref[0, r, sl] = jnp.sum(gdtys[r] * Rcomb, axis=0)
 
-        # read-modify-write the overlapping d_img band, per channel
-        for ch in range(C):
-            dma = pltpu.make_async_copy(
-                dimg_ref.at[b, ch, pl.ds(base, BV), :],
-                io_scratch.at[pl.ds(0, BV), :],
-                sem,
-            )
-            dma.start()
-            dma.wait()
-            io_scratch[pl.ds(0, BV), :] += acc_scratch[pl.ds(ch * BV, BV), :]
-            dma = pltpu.make_async_copy(
-                io_scratch.at[pl.ds(0, BV), :],
-                dimg_ref.at[b, ch, pl.ds(base, BV), :],
-                sem,
-            )
-            dma.start()
-            dma.wait()
+        # read-modify-write the overlapping d_img band: one fused read,
+        # one vector add over all channels, one fused write (was 2C DMAs)
+        dma = pltpu.make_async_copy(
+            dimg_ref.at[b, :, pl.ds(base, BV), :],
+            io_scratch,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        io_scratch[...] += acc_scratch[...].reshape(C, BV, Wp)
+        dma = pltpu.make_async_copy(
+            io_scratch,
+            dimg_ref.at[b, :, pl.ds(base, BV), :],
+            sem,
+        )
+        dma.start()
+        dma.wait()
 
     return kernel
 
@@ -200,10 +200,10 @@ def grid_sample_mxu_bwd(img_chw: jax.Array, x_p: jax.Array, y_p: jax.Array,
             pl.BlockSpec(memory_space=pltpu.ANY),    # d_img accumulator
         ],
         scratch_shapes=[
-            pltpu.VMEM((C * BV, Wp), jnp.float32),   # S band
+            pltpu.VMEM((C, BV, Wp), jnp.float32),    # S band
             pltpu.VMEM((C * BV, Wp), jnp.float32),   # accumulation
             pltpu.VMEM((2 * C * BV, G * 2 * LANE), jnp.float32),  # racc
-            pltpu.VMEM((BV, Wp), jnp.float32),       # r/m/w staging
+            pltpu.VMEM((C, BV, Wp), jnp.float32),    # r/m/w staging
             pltpu.SemaphoreType.DMA,
         ],
     )
