@@ -180,6 +180,10 @@ def main(argv=None):
         print(f"loaded checkpoint, starting at epoch {start_epoch}")
 
     n_dev = args.n_devices or len(jax.devices())
+    # the data mesh can't be wider than the batch: clamp to the largest
+    # divisor of minibatch (e.g. batch 2 on an 8-device test mesh -> 2)
+    while cfg.minibatch % n_dev:
+        n_dev -= 1
     mesh = make_mesh(n_dev)
     trainer = Trainer(cfg, state, depth_model, pose_model, mesh=mesh)
 

@@ -55,6 +55,15 @@ def load_checkpoint(ckpt_dir: str, state, load_best: bool = False
     """
     if load_best:
         path = os.path.join(ckpt_dir, "best_model", "best_model.msgpack")
+        if not os.path.exists(path):
+            # no best model yet (best selection starts at epoch 1 like the
+            # reference, run_mono_training.py:236-241): fall back to the
+            # latest checkpoint so 1-epoch / interrupted runs stay loadable
+            fallback = os.path.join(ckpt_dir, "checkpoint.msgpack")
+            if os.path.exists(fallback):
+                print(f"no best_model in {ckpt_dir}; loading latest "
+                      f"checkpoint instead")
+                path = fallback
     else:
         path = os.path.join(ckpt_dir, "checkpoint.msgpack")
     with open(path, "rb") as f:
