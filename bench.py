@@ -126,11 +126,8 @@ def main():
         depth_vars = {"params": params["depth"], "batch_stats": batch_stats}
         pose_vars = {"params": params["pose"]}
         # decode runs the phase-space tail by default (DepthNet.phase_tail
-        # — exact, measured 30.3 -> 17.0 ms); the experimental Pallas tail
-        # kernel stays off (slower than this XLA formulation,
-        # PERFORMANCE.md round 2)
-        depth_apply = make_depth_apply(depth_model, depth_vars,
-                                       use_tail_kernel=False)
+        # — exact, measured 30.3 -> 17.0 ms)
+        depth_apply = make_depth_apply(depth_model, depth_vars)
         pose_apply = lambda imgs: pose_model.apply(pose_vars, imgs)    # noqa
         disparities = solve_disp(depth_apply, target_img, source_imgs)
         depths = jnp.stack([

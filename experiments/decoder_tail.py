@@ -269,3 +269,19 @@ def _tail_bwd(res, g):
 
 
 decoder_tail.defvjp(_tail_fwd, _tail_bwd)
+
+
+def make_tail_apply(depth_model, depth_vars):
+    """imgs -> [disparity] through the fused tail kernel (the integration
+    point that used to live in tcsfm.models.depth.make_depth_apply before
+    this kernel was demoted to a documented negative result)."""
+    from tcsfm.models.depth import DepthNet, tail_weights
+
+    def apply_fn(imgs):
+        skips = depth_model.apply(depth_vars, imgs, method=DepthNet.encode)
+        z = depth_model.apply(depth_vars, skips,
+                              method=DepthNet.decode_phase_tail)
+        disp = decoder_tail(z, *tail_weights(depth_vars["params"]))
+        return [disp.astype(z.dtype)]
+
+    return apply_fn

@@ -9,9 +9,18 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
-import tcsfm.ops.decoder_tail as dt
+# outside tests/ there is no conftest forcing the CPU backend; without
+# this the interpret-mode kernels compile through the TPU tunnel
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import decoder_tail as dt
 from tcsfm.models.depth import DepthNet, make_depth_apply
 
 C1, C2 = 32, 8
@@ -64,8 +73,8 @@ class TestTailKernel:
                                        np.asarray(gr) / denom, atol=5e-2)
 
     def test_depthnet_integration(self, monkeypatch):
-        """make_depth_apply(use_tail_kernel=True) must reproduce the plain
-        decode path on the same params."""
+        """The fused tail must reproduce the plain decode path on the
+        same params."""
         monkeypatch.setattr(dt, "INTERPRET", True)
         model = DepthNet(num_scales=1)
         rng = np.random.RandomState(3)
@@ -76,8 +85,8 @@ class TestTailKernel:
         # params into the tame regime a trained net lives in
         variables = jax.tree_util.tree_map(lambda p: p * 0.25, variables)
 
-        plain = make_depth_apply(model, variables, use_tail_kernel=False)(x)
-        fused = make_depth_apply(model, variables, use_tail_kernel=True)(x)
+        plain = make_depth_apply(model, variables)(x)
+        fused = dt.make_tail_apply(model, variables)(x)
         assert fused[0].shape == plain[0].shape == (2, 32, 64, 1)
         np.testing.assert_allclose(np.asarray(fused[0]),
                                    np.asarray(plain[0]), atol=6e-3)

@@ -90,8 +90,6 @@ def main(argv=None):
         cfg = cfg.replace(mxu_exact=False)
     if args.mixed_sampler:
         cfg = cfg.replace(mxu_exact="mixed")
-    # Config.use_tail_kernel stays opt-in: the fused tail kernel has not
-    # yet beaten the XLA subpixel decoder path (PERFORMANCE.md round 2)
 
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=1)

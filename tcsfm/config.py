@@ -92,12 +92,6 @@ class Config:
     # Per-call vertical-band coverage check with auto-fallback to the XLA
     # sampler (lax.cond) — keeps extreme warps from silently sampling zeros.
     mxu_band_guard: bool = True
-    # Experimental fused Pallas decoder-tail kernel (ops/decoder_tail.py)
-    # on inference paths. Off: the XLA phase-space tail
-    # (DepthNet.phase_tail, layers._DualConv3x3) measured FASTER than this
-    # kernel — keep off unless re-measuring (PERFORMANCE.md round 2).
-    # TPU-only; num_scales == 1.
-    use_tail_kernel: bool = False
     # jax.checkpoint each coupled refinement iteration in the TRAIN step:
     # the backward recomputes pose-net activations + warp per iteration
     # instead of storing all `iterations` copies (HBM for FLOPs).

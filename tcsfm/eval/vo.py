@@ -46,15 +46,11 @@ class VOEvaluator:
 
         from tcsfm.models.depth import make_depth_apply
 
-        use_tail = (cfg.use_tail_kernel and cfg.num_scales == 1
-                    and use_mxu_warp)
-
         @jax.jit
         def infer(params, batch_stats, target_img, source_imgs, K):
             dvars = {"params": params["depth"], "batch_stats": batch_stats}
             pvars = {"params": params["pose"]}
-            depth_apply = make_depth_apply(depth_model, dvars,
-                                           use_tail_kernel=use_tail)
+            depth_apply = make_depth_apply(depth_model, dvars)
             pose_apply = lambda im: pose_model.apply(pvars, im)    # noqa: E731
 
             S, b = source_imgs.shape[0], target_img.shape[0]

@@ -130,9 +130,10 @@ class DepthNet(nn.Module):
 
     def decode_phase_tail(self, skips: Sequence[jax.Array]) -> jax.Array:
         """Decoder stages 0-3 plus the last upconv in PHASE FORM
-        [B, H/2, W/2, 4*32] — the input of the fused decoder-tail kernel
-        (tcsfm.ops.decoder_tail), which replaces the full-resolution
-        iconv4/feature/head convs. num_scales == 1 and subpixel only."""
+        [B, H/2, W/2, 4*32] — the input of the experimental fused
+        decoder-tail kernel (experiments/decoder_tail.py), which replaces
+        the full-resolution iconv4/feature/head convs.
+        num_scales == 1 and subpixel only."""
         assert self.subpixel and self.num_scales == 1
         out = skips[-1]
         for i in range(len(self.iconvs) - 1):
@@ -157,24 +158,13 @@ def tail_weights(depth_params) -> tuple:
     return w1, b1, w2, b2, w3, b3
 
 
-def make_depth_apply(depth_model: DepthNet, depth_vars,
-                     use_tail_kernel: bool = False):
+def make_depth_apply(depth_model: DepthNet, depth_vars):
     """imgs -> [disparities] callable for inference paths.
 
-    ``use_tail_kernel=True`` routes the full-resolution decoder tail
-    through the fused Pallas kernel (TPU only; num_scales == 1) — the
-    XLA path's lane-starved full-res convs were ~20 ms of the 30 ms
-    med-res depth forward (PERFORMANCE.md round 2)."""
-    if not use_tail_kernel:
-        return lambda imgs: depth_model.apply(depth_vars, imgs)
-
-    from tcsfm.ops.decoder_tail import decoder_tail
-
-    def apply_fn(imgs):
-        skips = depth_model.apply(depth_vars, imgs, method=DepthNet.encode)
-        z = depth_model.apply(depth_vars, skips,
-                              method=DepthNet.decode_phase_tail)
-        disp = decoder_tail(z, *tail_weights(depth_vars["params"]))
-        return [disp.astype(z.dtype)]
-
-    return apply_fn
+    The former ``use_tail_kernel`` knob is retired: the experimental
+    fused Pallas tail kernel consistently measured SLOWER than the XLA
+    phase-space tail it replaced (39.6 vs 30.3 ms depth net; 62.6 ms for
+    its direct-accumulation variant — PERFORMANCE.md round 2) and now
+    lives in experiments/decoder_tail.py as a documented negative
+    result."""
+    return lambda imgs: depth_model.apply(depth_vars, imgs)

@@ -114,7 +114,7 @@ class _DualConv3x3(nn.Module):
     — full-res 32/8/1-channel convs were measured lane-starved at ~3% MXU
     in XLA, while this shape tiles cleanly (PERFORMANCE.md round 2).
     Reflect padding of every full-res intermediate ≡ edge replication of
-    its phase tensor (the ±1-tap argument in ops/decoder_tail.py).
+    its phase tensor (the ±1-tap argument in experiments/decoder_tail.py).
     """
 
     features: int
