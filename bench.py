@@ -122,7 +122,7 @@ def main():
 
     from tcsfm.models.depth import make_depth_apply
 
-    def forward(params, batch_stats, target_img, source_imgs, K):
+    def forward(params, batch_stats, target_img, source_imgs, K, mxu_exact):
         depth_vars = {"params": params["depth"], "batch_stats": batch_stats}
         pose_vars = {"params": params["pose"]}
         # decode runs the phase-space tail by default (DepthNet.phase_tail
@@ -136,15 +136,23 @@ def main():
         ])
         poses, poses_inv = solve_pose_iteratively(
             ITERS, depths, pose_apply, target_img, source_imgs, K,
-            use_mxu_warp=True)
+            use_mxu_warp=True, mxu_exact=mxu_exact)
         return poses
 
     # NOTE: params/batch_stats/images are explicit ARGUMENTS — closing over
     # them embeds ~60MB of constants in the executable and makes the remote
     # compile pathologically slow.
-    @jax.jit
-    def step(params, batch_stats, target_img, source_imgs, K):
-        poses = forward(params, batch_stats, target_img, source_imgs, K)
+    import functools
+
+    # the headline metric is the REAL inference path: uint8-sourced frames
+    # (KITTI decodes to uint8) sampled via the single-pass integer-exact
+    # "uint8" mode that the eval CLIs auto-select on file-backed data;
+    # the hi/lo-split number is kept as a secondary field for continuity
+    @functools.partial(jax.jit, static_argnames=("mxu_exact",))
+    def step(params, batch_stats, target_img, source_imgs, K,
+             mxu_exact="uint8"):
+        poses = forward(params, batch_stats, target_img, source_imgs, K,
+                        mxu_exact)
         # chainable scalar output: forces full execution on fetch
         return jnp.sum(poses)
 
@@ -157,14 +165,17 @@ def main():
                     np.float32)
     args = (
         params, batch_stats,
-        jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32)),
-        jnp.asarray(rng.rand(S, B, H, W, 3).astype(np.float32)),
+        jnp.asarray(rng.randint(0, 256, (B, H, W, 3))
+                    .astype(np.float32) / 255.0),
+        jnp.asarray(rng.randint(0, 256, (S, B, H, W, 3))
+                    .astype(np.float32) / 255.0),
         jnp.asarray(np.broadcast_to(Kmat, (B, 3, 3)).copy()),
     )
 
     # warm + compile
     stage("compile forward")
     float(step(*args))
+    float(step(*args, mxu_exact=True))
     float(noop(jnp.float32(0.0)))
     stage("measure forward")
 
@@ -183,10 +194,14 @@ def main():
     per_call = max(total - latency, 1e-6)
     frames_per_s = B / per_call
 
+    total_hilo = measure(lambda *a: step(*a, mxu_exact=True), args, reps=6)
+    hilo_fps = B / max(total_hilo - latency, 1e-6)
+
     result = {
         **METRIC,
         "value": round(frames_per_s, 2),
         "vs_baseline": round(frames_per_s / BASELINE_FPS, 2),
+        "exact_hilo_fps": round(hilo_fps, 2),
         "train_step_ms": None,
         "train_frames_per_s": None,
         "pft_windows_per_s": None,
@@ -239,8 +254,10 @@ def main():
         from tcsfm.solver.pft import PFTOptimizer
 
         opts = PFTOptions(epochs=20, num_source_imgs=S)
-        pft = PFTOptimizer(cfg, opts, depth_model, pose_model,
-                           mode="encoder")
+        # the PFT CLI auto-selects the uint8-exact sampler on file-backed
+        # frames — bench inputs are uint8-grid, so measure that path
+        pft = PFTOptimizer(cfg.replace(mxu_exact="uint8"), opts,
+                           depth_model, pose_model, mode="encoder")
         pft_batch = {"target_img": args[2], "source_imgs": args[3],
                      "intrinsics": args[4]}
 

@@ -93,6 +93,10 @@ def run_real(args) -> dict:
     if args.iterations:
         cfg = cfg.replace(iterations=args.iterations)
     use_mxu = jax.default_backend() not in ("cpu",)
+    if use_mxu and cfg.mxu_exact is True:
+        # real-data frames decode from uint8: single-pass integer-exact
+        # sampling (ops/warp_mxu), f32-exact at ~1.8x the hi/lo speed
+        cfg = cfg.replace(mxu_exact="uint8")
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
     state, _, _ = load_checkpoint(args.model_dir, state, load_best=True)

@@ -197,6 +197,12 @@ def main(argv=None):
     cfg = cfg.replace(iterations=cfg.iterations + args.extra_iterations)
     if jax.default_backend() not in ("cpu",):
         cfg = cfg.replace(use_mxu_warp=True)
+    if (cfg.use_mxu_warp and not args.synthetic
+            and cfg.mxu_exact is True):
+        # file-backed frames decode from uint8: single-pass integer-exact
+        # sampling at ~1.8x the hi/lo split's speed (ops/warp_mxu)
+        cfg = cfg.replace(mxu_exact="uint8")
+        print("sampler: uint8-exact single-pass mode (file-backed frames)")
 
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=1)

@@ -42,6 +42,17 @@ class SequenceData:
     def __len__(self) -> int:
         return len(self.timestamps)
 
+    @property
+    def uint8_sourced(self) -> bool:
+        """True when every frame's float values are exactly k/255 with k
+        uint8 — file-backed sequences (JPEG/PNG decode to uint8) and
+        uint8-stored in-memory arrays. Enables the sampler's single-pass
+        "uint8" exact mode (ops/warp_mxu); in-memory float sequences
+        (synthetic, ScanNet npz) are not quantized."""
+        if self.images is not None:
+            return self.images.dtype == np.uint8
+        return self.image_files is not None
+
     def load_image(self, i: int) -> np.ndarray:
         if self.images is not None:
             return self.images[i]

