@@ -44,6 +44,15 @@ class BAResult(NamedTuple):
     #   the per-window block of the sequence-level reduced camera system
 
 
+def _f32(*xs):
+    """Cast solver inputs to f32: BA is a second-order method (Hessian
+    blocks, Schur complements, LM accept tests) and must solve in f32
+    even when the upstream networks ran in bf16 (bf16 depths/frames
+    otherwise poison the scan carries with mixed dtypes)."""
+    out = tuple(jnp.asarray(x, jnp.float32) for x in xs)
+    return out[0] if len(out) == 1 else out
+
+
 def _residual(pose, depth, target_img, source_img, src_depth, K):
     warped, valid, _, _ = inverse_warp2(source_img, depth, src_depth,
                                         -pose, K)
@@ -99,6 +108,8 @@ def photometric_ba(
     reference PFT's ``l_depth_init`` SSIM prior (optimizer.py:89-90),
     and it keeps textureless pixels (J_d ≈ 0) well-conditioned.
     """
+    pose0, depth0, target_img, source_img, src_depth, K = _f32(
+        pose0, depth0, target_img, source_img, src_depth, K)
     b = pose0.shape[0]
 
     def r_of(pose, depth):
@@ -299,6 +310,10 @@ def window_ba(
     All blocks come from jvp products; nothing bigger than [B, H, W, 6]
     is materialized (TPU: einsum reductions ride the MXU/VPU).
     """
+    (pose_prev0, pose_next0, depth0, target_img, prev_img, next_img,
+     prev_depth, next_depth, K) = _f32(
+        pose_prev0, pose_next0, depth0, target_img, prev_img, next_img,
+        prev_depth, next_depth, K)
     b = pose_prev0.shape[0]
 
     def r_a_fn(p, d):
@@ -647,6 +662,8 @@ def chain_ba(frames: jax.Array, depths: jax.Array, K: jax.Array,
         mean-normalized — windows stuck at a poor photometric minimum are
         downweighted in the assembled system each iteration.
     """
+    frames, depths, K, pose0_prev, pose0_next = _f32(
+        frames, depths, K, pose0_prev, pose0_next)
     n_edges = frames.shape[0] - 1
     # edge init: mean of the available measurements per edge
     cnt = jnp.zeros((n_edges, 1)).at[:-1].add(1.0).at[1:].add(1.0)

@@ -211,6 +211,24 @@ class TestWindowBA:
         assert costs[-1] < 0.6 * costs[0], costs
         assert np.all(np.asarray(res.depth) > 0)
 
+    def test_bf16_inputs_are_promoted(self):
+        """BA must solve in f32 even when the upstream nets ran in bf16
+        (a bf16-trained config's depths used to poison the LM scan
+        carries with mixed dtypes — found by scripts/bench_refiners.py)."""
+        from tcsfm.solver.ba import window_ba
+
+        pa, pb, d, tgt, prv, nxt, dp, dn, K = self._win_setup()
+        bf = jnp.bfloat16
+        res = jax.jit(lambda a, b, dd: window_ba(
+            a, b, dd, tgt.astype(bf), prv.astype(bf), nxt.astype(bf),
+            dp.astype(bf), dn.astype(bf), K, iters=4,
+            depth_prior_weight=0.1))(
+            pa.at[:, 1].add(0.008), pb.at[:, 1].add(-0.008),
+            (d * 1.1).astype(bf))
+        assert res.depth.dtype == jnp.float32
+        costs = np.asarray(res.cost)[:, 0]
+        assert costs[-1] < costs[0]
+
     def test_cross_block_nonzero_and_psd(self):
         """Shared depth couples the two poses: S_ab != 0, and the full
         12x12 reduced system stays PSD."""
