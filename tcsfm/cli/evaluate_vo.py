@@ -94,14 +94,27 @@ def main(argv=None):
         cfg = cfg.replace(mxu_exact=False)
     if args.mixed_sampler:
         cfg = cfg.replace(mxu_exact="mixed")
-    if (args.use_mxu_warp and not args.synthetic and not args.no_uint8
-            and cfg.mxu_exact is True):
-        # file-backed frames decode from uint8, so the single-pass
-        # 255x-integer sampler is f32-exact (measured MORE accurate than
-        # the hi/lo split: 2.4e-7 vs 3.7e-6 max err) at ~1.8x its speed;
-        # synthetic float sequences are not quantized and keep hi/lo
+    if args.synthetic:
+        seqs = {"synthetic": make_synthetic_sequence(24, (64, 96), seed=11)}
+    else:
+        seqs = {}
+        for seq_name in args.seqs:
+            d = os.path.join(args.data_dir, seq_name)
+            npz = os.path.join(d, "sequence_data.npz")
+            seqs[seq_name] = (
+                SequenceData.from_npz(npz) if os.path.exists(npz)
+                else SequenceData.from_reference_pkl(d, seq_name))
+
+    if (args.use_mxu_warp and not args.no_uint8 and cfg.mxu_exact is True
+            and all(s.uint8_sourced for s in seqs.values())):
+        # uint8-sourced frames (file-backed decodes, uint8 arrays) have
+        # float values exactly k/255, so the single-pass 255x-integer
+        # sampler is f32-exact (measured MORE accurate than the hi/lo
+        # split: 2.4e-7 vs 3.7e-6 max err) at ~1.8x its speed. Gated on
+        # the data property, not the --synthetic flag — an in-memory
+        # float sequence must not be silently quantized to the uint8 grid
         cfg = cfg.replace(mxu_exact="uint8")
-        print("sampler: uint8-exact single-pass mode (file-backed frames)")
+        print("sampler: uint8-exact single-pass mode (uint8-sourced frames)")
 
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
@@ -120,14 +133,7 @@ def main(argv=None):
         logger = ResultsLogger(os.path.join(args.plot_dir, "results.csv"))
 
     all_results = {}
-    for seq_name in (["synthetic"] if args.synthetic else args.seqs):
-        if args.synthetic:
-            seq = make_synthetic_sequence(24, (64, 96), seed=11)
-        else:
-            d = os.path.join(args.data_dir, seq_name)
-            npz = os.path.join(d, "sequence_data.npz")
-            seq = (SequenceData.from_npz(npz) if os.path.exists(npz)
-                   else SequenceData.from_reference_pkl(d, seq_name))
+    for seq_name, seq in seqs.items():
         if args.load_preds:
             res = evaluate_saved_predictions(
                 os.path.join(args.load_preds, f"{seq_name}_preds.npz"),

@@ -93,9 +93,20 @@ def run_real(args) -> dict:
     if args.iterations:
         cfg = cfg.replace(iterations=args.iterations)
     use_mxu = jax.default_backend() not in ("cpu",)
-    if use_mxu and cfg.mxu_exact is True:
-        # real-data frames decode from uint8: single-pass integer-exact
-        # sampling (ops/warp_mxu), f32-exact at ~1.8x the hi/lo speed
+
+    seqs = {}
+    for seq_name in args.seqs:
+        d = os.path.join(args.data_dir, seq_name)
+        npz = os.path.join(d, "sequence_data.npz")
+        seqs[seq_name] = (SequenceData.from_npz(npz) if os.path.exists(npz)
+                          else SequenceData.from_reference_pkl(d, seq_name))
+
+    if (use_mxu and cfg.mxu_exact is True
+            and all(s.uint8_sourced for s in seqs.values())):
+        # uint8-sourced frames have float values exactly k/255: single-pass
+        # integer-exact sampling (ops/warp_mxu), f32-exact at ~1.8x the
+        # hi/lo speed. Gated on the data property — an in-memory float
+        # sequence must not be silently quantized to the uint8 grid
         cfg = cfg.replace(mxu_exact="uint8")
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
@@ -105,11 +116,7 @@ def run_real(args) -> dict:
                      use_mxu_warp=use_mxu)
 
     out = {"mode": "real", "seqs": {}, "pass": True}
-    for seq_name in args.seqs:
-        d = os.path.join(args.data_dir, seq_name)
-        npz = os.path.join(d, "sequence_data.npz")
-        seq = (SequenceData.from_npz(npz) if os.path.exists(npz)
-               else SequenceData.from_reference_pkl(d, seq_name))
+    for seq_name, seq in seqs.items():
         res = ev.run_sequence(seq, batch_size=args.batch, verbose=False)
         cmp = compare_to_baseline(seq_name, res["errors_dnet"])
         print_table(seq_name, cmp)

@@ -41,7 +41,10 @@ def _chain_refine_sequence(seq, args, cfg, state, depth_model, pose_model):
     from tcsfm.solver.coupled import solve_pose_iteratively
     from tcsfm.utils.helpers import disp_to_depth
 
-    frames_np = np.asarray(seq.images, np.float32)          # [N, H, W, 3]
+    # load_image handles both in-memory and file-backed sequences (the
+    # latter carry images=None — same crash class as the npix fix below)
+    frames_np = np.stack([np.asarray(seq.load_image(i), np.float32)
+                          for i in range(len(seq))])        # [N, H, W, 3]
     n = len(frames_np)
     K1 = jnp.asarray(seq.intrinsics[0], jnp.float32)
 
@@ -197,12 +200,27 @@ def main(argv=None):
     cfg = cfg.replace(iterations=cfg.iterations + args.extra_iterations)
     if jax.default_backend() not in ("cpu",):
         cfg = cfg.replace(use_mxu_warp=True)
-    if (cfg.use_mxu_warp and not args.synthetic
-            and cfg.mxu_exact is True):
-        # file-backed frames decode from uint8: single-pass integer-exact
-        # sampling at ~1.8x the hi/lo split's speed (ops/warp_mxu)
+
+    if args.synthetic:
+        seqs = {"synthetic": make_synthetic_sequence(16, (64, 96), seed=13)}
+    else:
+        seqs = {}
+        for seq_name in args.seqs:
+            d = os.path.join(args.data_dir, seq_name)
+            npz = os.path.join(d, "sequence_data.npz")
+            seqs[seq_name] = (
+                SequenceData.from_npz(npz) if os.path.exists(npz)
+                else SequenceData.from_reference_pkl(d, seq_name))
+
+    if (cfg.use_mxu_warp and cfg.mxu_exact is True
+            and all(s.uint8_sourced for s in seqs.values())):
+        # uint8-sourced frames (file-backed decodes, uint8 arrays) have
+        # float values exactly k/255: single-pass integer-exact sampling at
+        # ~1.8x the hi/lo split's speed (ops/warp_mxu). Gated on the data
+        # property, not the --synthetic flag — an in-memory float sequence
+        # must not be silently quantized to the uint8 grid.
         cfg = cfg.replace(mxu_exact="uint8")
-        print("sampler: uint8-exact single-pass mode (file-backed frames)")
+        print("sampler: uint8-exact single-pass mode (uint8-sourced frames)")
 
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=1)
@@ -253,15 +271,7 @@ def main(argv=None):
             return poses, poses_inv, res, scale_init, scale_opt
 
     results = {}
-    for seq_name in (["synthetic"] if args.synthetic else args.seqs):
-        if args.synthetic:
-            seq = make_synthetic_sequence(16, (64, 96), seed=13)
-        else:
-            d = os.path.join(args.data_dir, seq_name)
-            npz = os.path.join(d, "sequence_data.npz")
-            seq = (SequenceData.from_npz(npz) if os.path.exists(npz)
-                   else SequenceData.from_reference_pkl(d, seq_name))
-
+    for seq_name, seq in seqs.items():
         if args.refiner == "chain":
             pose_init, pose_opt, sc_edge, c0, c1 = _chain_refine_sequence(
                 seq, args, cfg, state, depth_model, pose_model)
@@ -333,9 +343,11 @@ def main(argv=None):
                 scales_init.append(np.full(n, float(res.scale_init)))
                 scales_opt.append(np.full(n, float(res.scale_opt)))
 
+        img_shape = None
         for batch in loader:
             valid = batch.pop("_valid")
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            img_shape = batch["target_img"].shape[1:]   # [H, W, 3]
             n = int(valid.sum())
             if args.refiner == "ba":
                 out = ba_refine(
@@ -379,7 +391,9 @@ def main(argv=None):
             xi_prev = np.concatenate(opt_inv)          # [Nw, 6] t -> t-1
             i_next = np.concatenate(info_f)
             i_prev = np.concatenate(info_i)
-            npix = 2.0 * np.prod(seq.images[0].shape)  # joint 2-pair cost
+            # pixel count from the BATCH shape, not seq.images — file-backed
+            # sequences (from_npz/from_reference_pkl) carry images=None
+            npix = 2.0 * float(np.prod(img_shape))     # joint 2-pair cost
             var = np.maximum(np.concatenate(cost_last) / npix, 1e-12)
             i_next = i_next / var[:, None, None]
             i_prev = i_prev / var[:, None, None]

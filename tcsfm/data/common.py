@@ -50,13 +50,15 @@ _DECODE_POOL: ThreadPoolExecutor | None = None
 
 def decode_pool(threads: int) -> ThreadPoolExecutor:
     """Shared pool, grown on demand: a later loader asking for MORE
-    threads than the pool was created with gets a bigger pool (the old
-    one drains its in-flight work and is garbage-collected); asking for
-    fewer reuses the existing one."""
+    threads than the pool was created with gets a bigger pool; asking for
+    fewer reuses the existing one. The old pool is NOT shut down — a
+    still-live loader that grabbed it earlier keeps submitting to it (a
+    shutdown here would raise 'cannot schedule new futures' on its next
+    batch); dropping the global reference lets its worker threads exit
+    once the last loader holding it is collected (the executor's weakref
+    wake-up)."""
     global _DECODE_POOL
     if _DECODE_POOL is None or threads > _DECODE_POOL._max_workers:
-        if _DECODE_POOL is not None:
-            _DECODE_POOL.shutdown(wait=False)
         _DECODE_POOL = ThreadPoolExecutor(max_workers=threads,
                                           thread_name_prefix="tcsfm-decode")
     return _DECODE_POOL

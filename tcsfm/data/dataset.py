@@ -55,7 +55,10 @@ class SequenceData:
 
     def load_image(self, i: int) -> np.ndarray:
         if self.images is not None:
-            return self.images[i]
+            im = self.images[i]
+            if im.dtype == np.uint8:
+                return np.asarray(im, np.float32) / 255.0
+            return im
 
         def decode() -> np.ndarray:
             from PIL import Image

@@ -71,10 +71,11 @@ class BatchLoader:
                 raise ValueError(
                     "multi-process loading requires drop_last=True")
         self.rng = np.random.RandomState(seed)
-        # shared daemon pool: loaders are constructed per epoch, so a pool
-        # per instance would leak threads
-        self._pool = decode_pool(decode_threads) if decode_threads > 0 \
-            else None
+        # shared pool, resolved at each use (not cached): loaders are
+        # constructed per epoch, and a later wider-threaded loader may
+        # replace the shared pool — resolving lazily keeps every live
+        # loader on the current one
+        self._decode_threads = decode_threads
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -94,11 +95,13 @@ class BatchLoader:
                 # this process's contiguous rows of the global batch
                 idx = idx[self.process_index * local_bs:
                           (self.process_index + 1) * local_bs]
-            if self._pool is not None and len(idx) > 1:
+            pool = (decode_pool(self._decode_threads)
+                    if self._decode_threads > 0 else None)
+            if pool is not None and len(idx) > 1:
                 # JPEG decode releases the GIL: fan sample loads across the
                 # pool (augmentation draws are per-sample-seeded, so fetch
                 # order does not change the data)
-                samples = list(self._pool.map(
+                samples = list(pool.map(
                     self.dataset.__getitem__, [int(i) for i in idx]))
             else:
                 samples = [self.dataset[int(i)] for i in idx]

@@ -117,6 +117,24 @@ class TestDataset:
         np.testing.assert_allclose(seq2.gt_poses, seq.gt_poses)
         np.testing.assert_allclose(seq2.images, seq.images)
         assert len(seq2) == 4
+        # an in-memory FLOAT sequence is not uint8-exact: the eval CLIs
+        # gate the uint8 sampler mode on this property (advisor r3 low —
+        # the gate must not quantize genuinely float-valued frames)
+        assert not seq2.uint8_sourced
+
+    def test_uint8_in_memory_images_normalized(self):
+        """uint8-stored in-memory arrays are uint8_sourced and load_image
+        normalizes them to [0,1] float32 like the file-decode path."""
+        import dataclasses
+
+        seq = self._seq(4)
+        u8 = dataclasses.replace(
+            seq, images=(np.asarray(seq.images) * 255).astype(np.uint8))
+        assert u8.uint8_sourced
+        im = u8.load_image(0)
+        assert im.dtype == np.float32
+        assert 0.0 <= im.min() and im.max() <= 1.0
+        np.testing.assert_allclose(im, seq.images[0], atol=1 / 255.0)
 
 
 class TestLoader:
@@ -180,6 +198,37 @@ class TestLoader:
         b = list(BatchLoader(ds, 2, shuffle=False, prefetch=2))
         assert len(a) == len(b)
         np.testing.assert_allclose(a[0]["target_img"], b[0]["target_img"])
+
+    def test_pool_growth_keeps_live_loaders_working(self):
+        """A narrow-threaded loader must survive a later, wider-threaded
+        loader replacing the shared decode pool (advisor r3 medium: the
+        old pool was shut down while a live loader still held it, raising
+        'cannot schedule new futures' on its next batch)."""
+        ds = SfMWindowDataset([make_synthetic_sequence(12, (32, 48))],
+                              seq_len=3)
+        narrow = BatchLoader(ds, 2, shuffle=False, prefetch=0,
+                             decode_threads=2)
+        it = iter(narrow)
+        first = next(it)
+        # a wider pool request replaces the shared executor
+        wide = BatchLoader(ds, 2, shuffle=False, prefetch=0,
+                           decode_threads=16)
+        list(wide)
+        # the live narrow loader must keep batching (previously raised)
+        rest = list(it)
+        assert len(rest) == len(narrow) - 1
+        np.testing.assert_allclose(first["target_img"].shape, (2, 32, 48, 3))
+
+    def test_decode_pool_growth_does_not_kill_old_pool(self):
+        """Growing the shared pool must leave the replaced executor usable
+        for anyone still holding it (it is dropped, not shut down)."""
+        from tcsfm.data.common import decode_pool
+
+        old = decode_pool(2)
+        new = decode_pool(old._max_workers + 2)
+        assert new is not old
+        assert old.submit(lambda: 41 + 1).result() == 42
+        assert decode_pool(1) is new   # smaller request reuses current
 
 
 class TestSynthetic:
