@@ -32,6 +32,8 @@ the KITTI camera rate the reference pipeline targets for online VO.
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
 import traceback
 
@@ -40,6 +42,13 @@ import numpy as np
 BASELINE_FPS = 30.0  # KITTI camera rate: "real time" for online VO
 RETRY_BUDGET_S = 180.0  # total backend-init retry budget (VERDICT r2 #1)
 RETRY_SLEEP_S = 30.0
+# Hard watchdog: the remote-tunnel data path can HANG inside a fetch
+# (observed: jax.devices() responds, the first matmul fetch never
+# returns) — no exception, so the retry budget never fires and the
+# driver kills the bench with rc=124 and NO JSON (the round-2 failure
+# mode, again). A daemon timer emits whatever has been measured so far
+# and exits 0 before any plausible outer kill.
+WATCHDOG_S = float(os.environ.get("TCSFM_BENCH_WATCHDOG_S", 780.0))
 
 METRIC = {
     "metric": "coupled_sfm_inference_med_res_4iter",
@@ -48,9 +57,25 @@ METRIC = {
     "vs_baseline": 0.0,
 }
 
+# mutable running result: sub-benchmarks write fields here as they land,
+# so a watchdog fire still reports everything measured up to that point
+RESULT = dict(METRIC)
+
 
 def emit(payload):
     print(json.dumps(payload), flush=True)
+
+
+def start_watchdog():
+    def fire():
+        RESULT["watchdog_timeout"] = True
+        emit(RESULT)
+        os._exit(0)          # a hung fetch is not interruptible politely
+
+    t = threading.Timer(WATCHDOG_S, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def init_backend():
@@ -78,7 +103,7 @@ def init_backend():
 
 
 def main():
-    import os
+    watchdog = start_watchdog()
 
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                os.path.expanduser("~/.jax_cache"))
@@ -95,6 +120,7 @@ def main():
     try:
         init_backend()
     except Exception as e:  # noqa: BLE001 — record WHY, don't drop the round
+        watchdog.cancel()
         emit({**METRIC, "backend": "unavailable", "error": str(e)[:300]})
         return
 
@@ -108,7 +134,13 @@ def main():
     t_start = time.monotonic()
 
     def stage(msg):
+        RESULT["stage"] = msg     # shows WHERE a watchdog fire happened
         print(f"# [{time.monotonic() - t_start:6.1f}s] {msg}", flush=True)
+
+    def finish(payload):
+        watchdog.cancel()
+        payload.pop("stage", None)
+        emit(payload)
 
     H, W = 192, 640
     B, S, ITERS = 6, 2, 4
@@ -172,12 +204,11 @@ def main():
         jnp.asarray(np.broadcast_to(Kmat, (B, 3, 3)).copy()),
     )
 
-    # warm + compile
+    # warm + compile (the hi/lo variant compiles later, at its own stage —
+    # it is the SECONDARY metric and must not spend budget up front)
     stage("compile forward")
     float(step(*args))
-    float(step(*args, mxu_exact=True))
     float(noop(jnp.float32(0.0)))
-    stage("measure forward")
 
     def measure(fn, fargs, reps):
         best = float("inf")
@@ -189,23 +220,33 @@ def main():
 
     # dispatch+fetch round-trip latency, measured on a trivial kernel and
     # subtracted (block_until_ready does not wait under the remote tunnel)
-    latency = measure(noop, (jnp.float32(0.0),), reps=10)
-    total = measure(step, args, reps=10)
+    latency = measure(noop, (jnp.float32(0.0),), reps=5)
+    # Adaptive rep counts: round 3's driver run hit ~23 s PER FETCH of
+    # tunnel latency, so the fixed 10+10+6 fetch schedule burned 610 s on
+    # the forward alone and the PFT measurement was skipped on the
+    # wall-clock guard. best-of-N with latency subtraction converges in a
+    # few reps; under a slow tunnel, fewer fetches is strictly better.
+    if latency > 5.0:
+        fwd_reps, aux_reps = 3, 2
+    elif latency > 1.0:
+        fwd_reps, aux_reps = 5, 3
+    else:
+        fwd_reps, aux_reps = 10, 6
+    stage(f"measure forward (latency {latency:.2f}s/fetch, "
+          f"reps {fwd_reps}/{aux_reps})")
+    total = measure(step, args, reps=fwd_reps)
     per_call = max(total - latency, 1e-6)
     frames_per_s = B / per_call
 
-    total_hilo = measure(lambda *a: step(*a, mxu_exact=True), args, reps=6)
-    hilo_fps = B / max(total_hilo - latency, 1e-6)
-
-    result = {
-        **METRIC,
+    result = RESULT               # sub-benchmarks land fields in place so
+    result.update({               # a watchdog fire reports them anyway
         "value": round(frames_per_s, 2),
         "vs_baseline": round(frames_per_s / BASELINE_FPS, 2),
-        "exact_hilo_fps": round(hilo_fps, 2),
+        "exact_hilo_fps": None,
         "train_step_ms": None,
         "train_frames_per_s": None,
         "pft_windows_per_s": None,
-    }
+    })
 
     # --- full TRAIN step (depth -> coupled solver -> loss -> grads -> Adam;
     # the workload the scaling north star is about, VERDICT r1 item #9) ----
@@ -231,7 +272,7 @@ def main():
             return st
         state = train_once(state)       # compile + warmup
         best = float("inf")
-        for _ in range(6):
+        for _ in range(aux_reps):
             t0 = time.perf_counter()
             state = train_once(state)
             best = min(best, time.perf_counter() - t0)
@@ -243,12 +284,15 @@ def main():
 
     # --- PFT window refinement (20-epoch encoder-mode optimization; the
     # paper's headline capability — VERDICT r2 #1/#7 asked for this field) --
-    # guarded by a wall-clock check: never let a cold PFT compile push the
-    # whole bench past the driver budget — emit what we have instead
+    # guarded by a LATENCY-AWARE wall-clock check: never let a cold PFT
+    # compile push the whole bench past the driver budget — emit what we
+    # have instead. Estimated PFT cost: ~60s cold compile (seconds warm)
+    # + (1 warmup + aux_reps) fetches + ~1s/call compute.
     stage("compile PFT")
-    if time.monotonic() - t_start > 420.0:
-        stage("skipping PFT (wall-clock budget)")
-        emit(result)
+    pft_est = 60.0 + (1 + aux_reps) * (latency + 1.0)
+    if time.monotonic() - t_start + pft_est > 700.0:
+        stage(f"skipping PFT (wall-clock budget: est +{pft_est:.0f}s)")
+        finish(result)
         return
     try:
         from tcsfm.solver.pft import PFTOptimizer
@@ -268,7 +312,7 @@ def main():
             return r
         pft_once()                      # compile + warmup
         best = float("inf")
-        for _ in range(3):
+        for _ in range(min(3, aux_reps)):
             t0 = time.perf_counter()
             pft_once()
             best = min(best, time.perf_counter() - t0)
@@ -278,7 +322,23 @@ def main():
     except Exception:  # noqa: BLE001
         traceback.print_exc()
 
-    emit(result)
+    # --- hi/lo-split exact sampler (secondary continuity field; measured
+    # LAST so it can never crowd out the train/PFT fields) -----------------
+    stage("measure hi/lo forward")
+    hilo_est = 30.0 + (1 + aux_reps) * (latency + 0.1)
+    if time.monotonic() - t_start + hilo_est <= 780.0:
+        try:
+            float(step(*args, mxu_exact=True))   # compile + warmup
+            total_hilo = measure(lambda *a: step(*a, mxu_exact=True), args,
+                                 reps=aux_reps)
+            hilo_fps = B / max(total_hilo - latency, 1e-6)
+            result["exact_hilo_fps"] = round(hilo_fps, 2)
+        except Exception:  # noqa: BLE001
+            traceback.print_exc()
+    else:
+        stage(f"skipping hi/lo (wall-clock budget: est +{hilo_est:.0f}s)")
+
+    finish(result)
 
 
 if __name__ == "__main__":

@@ -287,6 +287,57 @@ class WSConv(nn.Module):
         return y
 
 
+class StemConv(nn.Module):
+    """ResNet stem: 7x7 stride-2 conv via an exact 2x2 space-to-depth
+    rewrite (the standard TPU ResNet stem transform).
+
+    The literal stem (depth_models.py:95-131 / torchvision conv1) is a
+    7x7s2 conv over 3 (or 3*in_images) channels — the tiny input-channel
+    dim wastes most of the MXU contraction tile and the stride-2 halves
+    data reuse. Exact rewrite: fold each 2x2 pixel block into channels
+    (C -> 4C, [N,H,W,C] -> [N,H/2,W/2,4C]), zero-pad the kernel 7x7 ->
+    8x8 at the leading row/column, and regroup it as 4x4 over the folded
+    channels; the stride-2 7x7 conv becomes a stride-1 4x4 conv with
+    asymmetric (2,1) padding. Same 7*7*C multiply-adds per output in a
+    different grouping — equal to the literal conv up to f32 accumulation
+    order (pinned in test_models).
+
+    The parameter tree is IDENTICAL to the literal ``nn.Conv`` (a single
+    ``kernel`` of shape [7,7,C,features]) so checkpoints and the
+    torchvision importer (models/torch_import.py) are unaffected.
+    """
+
+    features: int = 64
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = kaiming_out
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        w = self.param("kernel", self.kernel_init,
+                       (7, 7, in_ch, self.features), jnp.float32)
+        n, h, wd = x.shape[0], x.shape[1], x.shape[2]
+        if h % 2 == 0 and wd % 2 == 0 and in_ch <= 8:
+            # input fold: channel = (row parity a)*2 + (col parity b), minor c
+            v = x.astype(self.dtype).reshape(n, h // 2, 2, wd // 2, 2, in_ch)
+            v = v.transpose(0, 1, 3, 2, 4, 5).reshape(
+                n, h // 2, wd // 2, 4 * in_ch)
+            # kernel fold: tap u = 2*pa + a - 1 (u = -1 is the zero pad row)
+            kpad = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            k2 = kpad.reshape(4, 2, 4, 2, in_ch, self.features)
+            k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(
+                4, 4, 4 * in_ch, self.features)
+            y = jax.lax.conv_general_dilated(
+                v, k2.astype(self.dtype), (1, 1), [(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w.astype(self.dtype), (2, 2),
+                [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y
+
+
 class GroupNorm16(nn.Module):
     """GroupNorm with 16 groups, f32 statistics (pose_models.py:49,82)."""
 

@@ -19,7 +19,7 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tcsfm.models.layers import kaiming_out
+from tcsfm.models.layers import StemConv, kaiming_out
 
 Dtype = Any
 
@@ -72,8 +72,10 @@ class ResNet18Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = []
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, kernel_init=kaiming_out, name="conv1")(x)
+        # 7x7s2 stem via the exact 2x2 space-to-depth rewrite (StemConv);
+        # parameter tree identical to the literal nn.Conv
+        x = StemConv(64, dtype=self.dtype, kernel_init=kaiming_out,
+                     name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          axis_name=self.bn_axis_name, name="bn1")(x)

@@ -92,6 +92,39 @@ class TestDepthNet:
         )
 
 
+class TestStemConv:
+    """The encoder stem's 2x2 space-to-depth rewrite must equal the
+    literal 7x7s2 conv (same multiply-adds, different grouping)."""
+
+    @pytest.mark.parametrize("shape", [(2, 32, 48, 3), (1, 64, 96, 6),
+                                       (2, 32, 48, 8)])
+    def test_s2d_matches_literal_conv(self, shape):
+        from tcsfm.models.layers import StemConv
+
+        x = jnp.asarray(_rand(shape, seed=11) - 0.5)
+        m = StemConv(16)
+        v = m.init(jax.random.PRNGKey(2), x)
+        got = m.apply(v, x)
+        ref = jax.lax.conv_general_dilated(
+            x, v["params"]["kernel"], (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert got.shape == ref.shape == \
+            (shape[0], shape[1] // 2, shape[2] // 2, 16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_odd_shapes_fall_back(self):
+        from tcsfm.models.layers import StemConv
+
+        x = jnp.asarray(_rand((1, 33, 47, 3), seed=4))
+        m = StemConv(16)
+        v = m.init(jax.random.PRNGKey(2), x)
+        got = m.apply(v, x)                 # literal path, no crash
+        assert got.shape == (1, 17, 24, 16)
+        # parameter tree identical to nn.Conv: a single [7,7,C,O] kernel
+        assert v["params"]["kernel"].shape == (7, 7, 3, 16)
+
+
 class TestPoseNet:
     def test_output_shape_and_scale(self):
         model = PoseNet()
