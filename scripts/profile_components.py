@@ -27,6 +27,8 @@ def main():
     p.add_argument("--reps", type=int, default=6)
     p.add_argument("--only", type=str, default="",
                    help="substring filter on benchmark names")
+    p.add_argument("--no_remat", action="store_true",
+                   help="train step without coupled-iteration remat")
     args = p.parse_args()
 
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
@@ -46,7 +48,8 @@ def main():
 
     H, W, B, S, ITERS = 192, 640, 6, 2, 4
     cfg = Config(iterations=ITERS, num_scales=1, minibatch=B,
-                 compute_dtype="bfloat16", use_mxu_warp=True)
+                 compute_dtype="bfloat16", use_mxu_warp=True,
+                 remat_coupled=not args.no_remat)
     state, depth_model, pose_model = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=100)
     params, batch_stats = state.params, state.batch_stats

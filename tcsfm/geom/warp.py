@@ -105,7 +105,7 @@ def _project_with_mask(cam_coords, K, pose_mat, h, w, zeros_padding=True):
 def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
                       pose: jax.Array, K: jax.Array, band: int = 32,
                       exact=True, guard=True, sample_depth: bool = True,
-                      interpret: bool = False):
+                      img_grad: bool = True, interpret: bool = False):
     """inverse_warp2 on the MXU sampling kernel (differentiable).
 
     Fuses the image and source-depth resampling into ONE 4-channel kernel
@@ -131,6 +131,16 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
     (the packed call becomes 3-channel; ``projected_depth`` returns None)
     — the right mode for pure pose inference, where only the warped image
     and valid mask are consumed. 3/4 of the matmul rows + DMA traffic.
+
+    ``img_grad=False`` declares ``img`` a data leaf (a video frame, not a
+    network output): the backward then skips d_img for the RGB channels —
+    their transposed matmuls and, with ``sample_depth=False``, the whole
+    sequential read-modify-write d_img chain — and returns an exact zero
+    cotangent for them. The resampled source DEPTH channel (which IS
+    network output) keeps its full d_img. Gradients w.r.t. depth/pose
+    (through the coordinates) are bit-identical either way. Every
+    internal caller (solver, losses) samples camera frames and sets
+    False; the default stays True for API safety.
 
     The banded kernel is exact only while a pixel's vertical source taps
     fall inside its 8-output-row group's ``band``-row DMA window. The
@@ -171,6 +181,11 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
         packed = img                                         # [B, H, W, 3]
         if exact == "mixed":
             exact = False                # no depth channel → RGB bf16 pass
+    # channels whose d_img the graph consumes: none of the RGB data
+    # channels when img_grad=False; the sampled source depth always
+    grad_ch = None
+    if not img_grad:
+        grad_ch = (3,) if sample_depth else ()
     if guard == "fallback":
         bv, wp = band_geometry(h, w, band)
         ok = (jnp.all(vertical_band_ok(coords, h, bv))
@@ -178,13 +193,13 @@ def inverse_warp2_mxu(img: jax.Array, depth: jax.Array, ref_depth: jax.Array,
         sampled = lax.cond(
             ok,
             lambda p, c: grid_sample_mxu_diff(p, c, band, interpret,
-                                              exact, u8),
+                                              exact, u8, grad_ch),
             grid_sample,
             packed, coords,
         )
     else:
         sampled = grid_sample_mxu_diff(packed, coords, band, interpret,
-                                       exact, u8)
+                                       exact, u8, grad_ch)
         if guard:                                           # "mask" / True
             bv, wp = band_geometry(h, w, band)
             in_band = lax.stop_gradient(

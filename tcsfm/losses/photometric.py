@@ -109,8 +109,10 @@ def pairwise_loss(cfg: Config, tgt_img, ref_img, tgt_depth, ref_depth, pose, K):
     valid_mask [B,H,W,1]).
     """
     if cfg.use_mxu_warp:
+        # ref_img is a camera frame (data leaf) → img_grad=False skips its
+        # dead d_img; the resampled ref DEPTH keeps full gradients
         warp = functools.partial(inverse_warp2_mxu, exact=cfg.mxu_exact,
-                                 guard=cfg.mxu_band_guard)
+                                 guard=cfg.mxu_band_guard, img_grad=False)
     else:
         warp = inverse_warp2
     warped, valid_mask, projected_depth, computed_depth = warp(
@@ -188,8 +190,9 @@ def compute_losses(cfg: Config,
     b, h, w, _ = target_img.shape
     num_scales = cfg.num_scales
     if cfg.use_mxu_warp:
+        # warped sources are camera frames (data leaves) → img_grad=False
         warp = functools.partial(inverse_warp2_mxu, exact=cfg.mxu_exact,
-                                 guard=cfg.mxu_band_guard)
+                                 guard=cfg.mxu_band_guard, img_grad=False)
     else:
         warp = inverse_warp2
 

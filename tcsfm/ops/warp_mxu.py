@@ -458,26 +458,36 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def grid_sample_mxu_diff(img: jax.Array, coords: jax.Array, band: int = 32,
                          interpret: bool = False,
-                         exact: bool = True, u8: tuple = ()) -> jax.Array:
+                         exact: bool = True, u8: tuple = (),
+                         grad_ch=None) -> jax.Array:
     """grid_sample_mxu with a custom VJP (d_img and d_coords as Pallas
     kernels with the same banded-matmul structure as the forward).
 
-    The backward always runs its own hi/lo-split tap values regardless of
-    the forward's precision mode — gradient quality is mode-independent."""
+    The backward's tap values follow only the forward's *uint8* channels
+    (255x single-pass — f32-exact for k/255 data at half the hi/lo rows);
+    all other channels run hi/lo even when the forward picked a lossy
+    speed mode — gradient quality never degrades with the sampling mode.
+
+    ``grad_ch`` (static) names the img channels whose d_img cotangent the
+    surrounding graph actually consumes (None → all). Channels outside it
+    receive an exact ZERO d_img without paying their transposed-matmul /
+    read-modify-write cost — only correct when those channels are data
+    leaves (true for every sampled RGB stream in this framework). d_coords
+    is always full-precision over all channels."""
     return grid_sample_mxu(img, coords, band=band, interpret=interpret,
                            exact=exact, u8=u8)
 
 
-def _gsm_fwd(img, coords, band, interpret, exact, u8):
+def _gsm_fwd(img, coords, band, interpret, exact, u8, grad_ch):
     out = grid_sample_mxu(img, coords, band=band, interpret=interpret,
                           exact=exact, u8=u8)
     return out, (img, coords)
 
 
-def _gsm_bwd(band, interpret, exact, u8, res, g):
+def _gsm_bwd(band, interpret, exact, u8, grad_ch, res, g):
     from tcsfm.ops.warp_mxu_grad import grid_sample_mxu_bwd
 
     img, coords = res
@@ -489,10 +499,24 @@ def _gsm_bwd(band, interpret, exact, u8, res, g):
         g.transpose(0, 3, 1, 2).astype(jnp.float32),
         ((0, 0), (0, 0), (0, 0), (0, Wp - W)),
     )
-    dimg_chw, dx, dy = grid_sample_mxu_bwd(
+    gch = tuple(range(C)) if grad_ch is None else tuple(
+        sorted(int(c) for c in grad_ch))
+    # the backward follows only the forward's *uint8* channels (they are
+    # exact at single-pass cost); every other channel runs hi/lo even if
+    # the forward picked a lossy speed mode — gradient quality never
+    # degrades with the sampling mode.
+    _, u8_ch = _norm_exact(exact, u8, C)
+    dimg_g, dx, dy = grid_sample_mxu_bwd(
         img_chw, x_p, y_p, base, colbase, g_chw, band=BV,
-        interpret=interpret)
+        interpret=interpret, grad_ch=gch, u8=u8_ch)
 
+    if len(gch) == C:
+        dimg_chw = dimg_g
+    elif len(gch) == 0:
+        dimg_chw = jnp.zeros_like(img_chw)
+    else:
+        dimg_chw = (jnp.zeros((B, C, H, Wp), jnp.float32)
+                    .at[:, list(gch)].set(dimg_g))
     d_img = dimg_chw[:, :, :, :W].transpose(0, 2, 3, 1).astype(img.dtype)
     # chain rule pixel→normalized: x_pix = ((cx+1)·W - 1)/2 → d/dcx = W/2.
     # Pushed-OOB coords already get zero gradient (selectors/tents vanish),

@@ -175,11 +175,15 @@ def solve_pose_iteratively(
         # valid_mask) back into the pose net, so they stay 3-channel even
         # when return_errors (XLA can't DCE the unused channel inside the
         # Pallas kernel; measured 8.1 -> 4.7 ms fwd+bwd per 24-img warp).
+        # img is always a camera frame here → img_grad=False drops the
+        # dead d_img side of the backward kernel (see inverse_warp2_mxu)
         warp = functools.partial(inverse_warp2_mxu, exact=mxu_exact,
-                                 guard=mxu_band_guard, sample_depth=False)
+                                 guard=mxu_band_guard, sample_depth=False,
+                                 img_grad=False)
         warp_final = functools.partial(inverse_warp2_mxu, exact=mxu_exact,
                                        guard=mxu_band_guard,
-                                       sample_depth=return_errors)
+                                       sample_depth=return_errors,
+                                       img_grad=False)
     else:
         warp = warp_final = inverse_warp2
 

@@ -99,6 +99,109 @@ class TestMXUSamplerVJP:
         grads = np.asarray(jax.grad(loss)(jnp.asarray(pushed)))
         np.testing.assert_allclose(grads[:, :8], 0.0, atol=1e-7)
 
+    @pytest.mark.parametrize("grad_ch", [(), (3,), (1, 2)])
+    def test_grad_ch_subset(self, data, grad_ch):
+        """grad_ch: d_coords is bit-identical to the full backward; d_img
+        matches the full path on the kept channels and is exactly zero on
+        the dropped (data-leaf) channels."""
+        img, coords, g = data
+
+        def loss(im, c, gch):
+            return jnp.sum(
+                grid_sample_mxu_diff(im, c, 24, True, True, (), gch) * g)
+
+        gi_f, gc_f = jax.grad(loss, argnums=(0, 1))(img, coords, None)
+        gi_s, gc_s = jax.grad(loss, argnums=(0, 1))(img, coords, grad_ch)
+        np.testing.assert_array_equal(np.asarray(gc_s), np.asarray(gc_f))
+        gi_s, gi_f = np.asarray(gi_s), np.asarray(gi_f)
+        for ch in range(C):
+            if ch in grad_ch:
+                np.testing.assert_array_equal(gi_s[..., ch], gi_f[..., ch])
+            else:
+                np.testing.assert_array_equal(gi_s[..., ch], 0.0)
+
+    def test_inverse_warp2_mxu_img_grad_false_matches(self):
+        """img_grad=False leaves depth/pose gradients bit-identical on the
+        losses' sample_depth=True warp (only the dead RGB d_img is cut)."""
+        from tcsfm.geom.warp import inverse_warp2_mxu
+
+        rng = np.random.RandomState(7)
+        b, h, w = 1, 16, 64
+        img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+        depth = jnp.asarray(1.0 + rng.rand(b, h, w, 1).astype(np.float32))
+        ref_depth = jnp.asarray(1.0 + rng.rand(b, h, w, 1).astype(np.float32))
+        pose = jnp.asarray(0.01 * rng.randn(b, 6).astype(np.float32))
+        K = jnp.asarray(np.broadcast_to(
+            np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]],
+                     np.float32), (b, 3, 3)).copy())
+
+        def loss(d, rd, p, ig):
+            wi, vm, pd, cd = inverse_warp2_mxu(
+                img, d, rd, p, K, band=16, img_grad=ig, interpret=True)
+            return jnp.sum(wi * vm) + jnp.sum(pd * vm) + jnp.sum(cd)
+
+        g_t = jax.grad(loss, argnums=(0, 1, 2))(depth, ref_depth, pose, True)
+        g_f = jax.grad(loss, argnums=(0, 1, 2))(depth, ref_depth, pose, False)
+        for a, b_ in zip(g_t, g_f):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_u8_backward_matches_hilo(self):
+        """uint8-mode backward (255x single-pass tap values on the u8
+        channels) vs the all-hi/lo backward on k/255 data: d_coords agree
+        to f32 rounding and d_img (u8 channels are data in practice, but
+        the kernel must still be correct when asked) matches XLA."""
+        rng = np.random.RandomState(11)
+        h, w = 16, 64
+        img = jnp.asarray(
+            rng.randint(0, 256, (1, h, w, 3)).astype(np.float32) / 255.0)
+        g = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+        coords = _identity_coords(1, h, w)
+        coords += (0.02 * rng.randn(1, h, w, 2)).astype(np.float32)
+        coords = jnp.asarray(coords)
+
+        def loss(c, exact, u8):
+            return jnp.sum(
+                grid_sample_mxu_diff(img, c, 16, True, exact, u8) * g)
+
+        g_hilo = np.asarray(jax.grad(loss)(coords, True, ()))
+        g_u8 = np.asarray(jax.grad(loss)(coords, (), (0, 1, 2)))
+        np.testing.assert_allclose(g_u8, g_hilo, atol=1e-4, rtol=1e-4)
+
+        def loss_ref(c):
+            return jnp.sum(grid_sample(img, c) * g)
+
+        g_ref = np.asarray(jax.grad(loss_ref)(coords))
+        np.testing.assert_allclose(g_u8, g_ref, atol=1e-4, rtol=1e-3)
+
+    def test_u8_mixed_with_hilo_depth_channel(self):
+        """The eval/PFT layout: RGB u8 + a hi/lo depth channel, d_img only
+        for the depth channel — gradients match the XLA sampler."""
+        rng = np.random.RandomState(13)
+        h, w = 16, 64
+        rgb = rng.randint(0, 256, (1, h, w, 3)).astype(np.float32) / 255.0
+        depth = (1.0 + rng.rand(1, h, w, 1)).astype(np.float32)
+        packed = jnp.asarray(np.concatenate([rgb, depth], axis=-1))
+        g = jnp.asarray(rng.rand(1, h, w, 4).astype(np.float32))
+        coords = _identity_coords(1, h, w)
+        coords += (0.02 * rng.randn(1, h, w, 2)).astype(np.float32)
+        coords = jnp.asarray(coords)
+
+        def loss(im, c):
+            return jnp.sum(grid_sample_mxu_diff(
+                im, c, 16, True, (3,), (0, 1, 2), (3,)) * g)
+
+        def loss_ref(im, c):
+            return jnp.sum(grid_sample(im, c) * g)
+
+        gi, gc = jax.grad(loss, argnums=(0, 1))(packed, coords)
+        gi_r, gc_r = jax.grad(loss_ref, argnums=(0, 1))(packed, coords)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_r),
+                                   atol=2e-2, rtol=3e-2)
+        np.testing.assert_allclose(np.asarray(gi)[..., 3],
+                                   np.asarray(gi_r)[..., 3],
+                                   atol=2e-2, rtol=3e-2)
+        np.testing.assert_array_equal(np.asarray(gi)[..., :3], 0.0)
+
     def test_value_and_grad_jit(self, data):
         img, coords, g = data
 
