@@ -90,7 +90,8 @@ def main(argv=None):
             lambda im: pose_model.apply(pvars, im),
             target_img, source0_img[None], K,
             use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
-            mxu_band_guard=cfg.mxu_band_guard)
+            mxu_band_guard=cfg.mxu_band_guard,
+            mxu_band=cfg.mxu_band)
         return scaled[:b], poses[0], poses_inv[0]
 
     gt_depths, pred_disps, pred_mats, gt_mats = [], [], [], []

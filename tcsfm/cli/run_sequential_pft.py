@@ -70,7 +70,8 @@ def _chain_refine_sequence(seq, args, cfg, state, depth_model, pose_model):
         return solve_pose_iteratively(
             cfg.iterations, dps, pose_apply, tgt, srcs, K,
             use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
-            mxu_band_guard=cfg.mxu_band_guard)
+            mxu_band_guard=cfg.mxu_band_guard,
+            mxu_band=cfg.mxu_band)
 
     # per-frame depths + DNet scales, chunked at a fixed batch (one compile)
     ch = 8
@@ -252,7 +253,8 @@ def main(argv=None):
             poses, poses_inv = solve_pose_iteratively(
                 cfg.iterations, depths, pose_apply, target_img, source_imgs,
                 K, use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
-                mxu_band_guard=cfg.mxu_band_guard)
+                mxu_band_guard=cfg.mxu_band_guard,
+            mxu_band=cfg.mxu_band)
             # joint window BA: BOTH pair constraints (target vs prev and
             # target vs next) share the target depth — no source is
             # discarded (VERDICT r2 #6; solver/ba.py::window_ba). The

@@ -92,6 +92,13 @@ class Config:
     # Per-call vertical-band coverage check with auto-fallback to the XLA
     # sampler (lax.cond) — keeps extreme warps from silently sampling zeros.
     mxu_band_guard: bool = True
+    # Vertical source-band rows per 8-output-row group in the MXU warp.
+    # Selector-matmul FLOPs and band DMA scale linearly with it. 32 gives
+    # ~15 rows of true parallax margin; 24 gives ~7 (pixels beyond the
+    # band are masked invalid by the guard, exactly like out-of-view).
+    # Throughput knob: lower only when the data's vertical parallax per
+    # 8-row group is known small (validated by the band-coverage stats).
+    mxu_band: int = 32
     # jax.checkpoint each coupled refinement iteration in the TRAIN step:
     # the backward recomputes pose-net activations + warp per iteration
     # instead of storing all `iterations` copies (HBM for FLOPs).

@@ -79,7 +79,8 @@ class VOEvaluator:
                 poses, poses_inv = solve_pose_iteratively(
                     iterations, depths, pose_apply, target_img, source_imgs, K,
                     use_mxu_warp=use_mxu_warp, mxu_exact=cfg.mxu_exact,
-                    mxu_band_guard=cfg.mxu_band_guard)
+                    mxu_band_guard=cfg.mxu_band_guard,
+                    mxu_band=cfg.mxu_band)
 
             scale = jnp.ones((b,))
             if self.dnet:

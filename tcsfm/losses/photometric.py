@@ -112,7 +112,8 @@ def pairwise_loss(cfg: Config, tgt_img, ref_img, tgt_depth, ref_depth, pose, K):
         # ref_img is a camera frame (data leaf) → img_grad=False skips its
         # dead d_img; the resampled ref DEPTH keeps full gradients
         warp = functools.partial(inverse_warp2_mxu, exact=cfg.mxu_exact,
-                                 guard=cfg.mxu_band_guard, img_grad=False)
+                                 guard=cfg.mxu_band_guard, band=cfg.mxu_band,
+                                 img_grad=False)
     else:
         warp = inverse_warp2
     warped, valid_mask, projected_depth, computed_depth = warp(
@@ -192,7 +193,8 @@ def compute_losses(cfg: Config,
     if cfg.use_mxu_warp:
         # warped sources are camera frames (data leaves) → img_grad=False
         warp = functools.partial(inverse_warp2_mxu, exact=cfg.mxu_exact,
-                                 guard=cfg.mxu_band_guard, img_grad=False)
+                                 guard=cfg.mxu_band_guard, band=cfg.mxu_band,
+                                 img_grad=False)
     else:
         warp = inverse_warp2
 

@@ -109,6 +109,7 @@ def solve_pose_iteratively(
     use_mxu_warp: bool = False,
     mxu_exact: bool = True,
     mxu_band_guard: bool = True,
+    mxu_band: int = 32,
     remat: bool = False,
 ):
     """Iterative coupled pose estimation (train_mono.py:41-120).
@@ -178,10 +179,10 @@ def solve_pose_iteratively(
         # img is always a camera frame here → img_grad=False drops the
         # dead d_img side of the backward kernel (see inverse_warp2_mxu)
         warp = functools.partial(inverse_warp2_mxu, exact=mxu_exact,
-                                 guard=mxu_band_guard, sample_depth=False,
-                                 img_grad=False)
+                                 guard=mxu_band_guard, band=mxu_band,
+                                 sample_depth=False, img_grad=False)
         warp_final = functools.partial(inverse_warp2_mxu, exact=mxu_exact,
-                                       guard=mxu_band_guard,
+                                       guard=mxu_band_guard, band=mxu_band,
                                        sample_depth=return_errors,
                                        img_grad=False)
     else:

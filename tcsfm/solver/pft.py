@@ -275,6 +275,7 @@ class PFTOptimizer:
                 use_mxu_warp=cfg.use_mxu_warp,
                 mxu_exact=cfg.mxu_exact,
                 mxu_band_guard=cfg.mxu_band_guard,
+                mxu_band=cfg.mxu_band,
             )
             loss = compute_optimization_loss(
                 opts, target_img, target_disp, init_target_disp,

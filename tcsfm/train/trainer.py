@@ -143,7 +143,7 @@ def forward_loss(cfg: Config, depth_model: DepthNet, pose_model: PoseNet,
     poses, poses_inv = solve_pose_iteratively(
         cfg.iterations, depths, pose_apply, tgt_aug, src_aug, K_aug,
         use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
-        mxu_band_guard=cfg.mxu_band_guard,
+        mxu_band_guard=cfg.mxu_band_guard, mxu_band=cfg.mxu_band,
         remat=train and cfg.remat_coupled,
     )
 

@@ -133,7 +133,8 @@ def trajectory_eval(cfg: Config, depth_model, pose_model, params, batch_stats,
             poses, poses_inv = solve_pose_iteratively(
                 cfg.iterations, depths, pose_apply, tgt, src, K,
                 use_mxu_warp=use_mxu_warp, mxu_exact=cfg.mxu_exact,
-                mxu_band_guard=cfg.mxu_band_guard)
+                mxu_band_guard=cfg.mxu_band_guard,
+                mxu_band=cfg.mxu_band)
         return poses[0]
 
     loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False,
