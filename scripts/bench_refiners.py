@@ -57,6 +57,9 @@ def main():
     def stage(msg):
         print(f"# [{time.monotonic() - t0_all:6.1f}s] {msg}", flush=True)
 
+    # TCSFM_BA_XLA=1 reproduces the round-3 numbers (XLA gather residual)
+    use_mxu_ba = os.environ.get("TCSFM_BA_XLA", "") != "1"
+
     H, W = 192, 640
     B, S = 4, 2                 # CLI default --window_batch 4
     BLOCK = 12                  # CLI default --chain_block 12
@@ -124,7 +127,8 @@ def main():
             use_mxu_warp=True, mxu_exact=cfg.mxu_exact)
         res = window_ba(poses[0], poses[1], depths[0], target_img,
                         source_imgs[0], source_imgs[1], depths[1], depths[2],
-                        K, iters=10, depth_prior_weight=0.1)
+                        K, iters=10, depth_prior_weight=0.1,
+                        use_mxu_warp=use_mxu_ba, mxu_exact=cfg.mxu_exact)
         return (jnp.sum(res.pose_prev) + jnp.sum(res.pose_next)
                 + jnp.sum(res.depth))
     ba_args = (params, batch_stats, tgt, srcs, Kb)
@@ -141,7 +145,7 @@ def main():
 
     solve = jax.jit(lambda f, d, a, b: chain_ba(
         f, d, jnp.asarray(Kmat), a, b, iters=10, depth_prior_weight=0.1,
-        pyramid_levels=2))
+        pyramid_levels=2, use_mxu_warp=use_mxu_ba, mxu_exact=cfg.mxu_exact))
 
     def chain_once():
         res = solve(frames, depths_blk, p_prev, p_next)

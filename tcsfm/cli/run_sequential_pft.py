@@ -110,7 +110,9 @@ def _chain_refine_sequence(seq, args, cfg, state, depth_model, pose_model):
     # chain BA per block; block [i, end) owns edges i..end-2
     solve = jax.jit(lambda f, d, a, b: chain_ba(
         f, d, K1, a, b, iters=max(args.epochs // 2, 4),
-        depth_prior_weight=0.1, pyramid_levels=args.pyramid_levels))
+        depth_prior_weight=0.1, pyramid_levels=args.pyramid_levels,
+        use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
+        mxu_band=cfg.mxu_band))
     edges, costs0, costs1 = [], [], []
     i = 0
     while i < n - 1:
@@ -264,7 +266,9 @@ def main(argv=None):
             res = window_ba(
                 poses[0], poses[1], depths[0], target_img,
                 source_imgs[0], source_imgs[1], depths[1], depths[2], K,
-                iters=args.epochs // 2, depth_prior_weight=0.1)
+                iters=args.epochs // 2, depth_prior_weight=0.1,
+                use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
+                mxu_band=cfg.mxu_band)
             scale_init = scale_recovery(depths[0], K,
                                         cfg.camera_height / 30.0)
             # BA refines the target depth jointly — rescale from it

@@ -47,7 +47,8 @@ LANE = 128
 
 
 def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
-                 exact_ch: tuple = (), u8_ch: tuple = ()):
+                 exact_ch: tuple = (), u8_ch: tuple = (),
+                 with_grads: bool = False):
     """Build the 8-output-rows-per-step sampling kernel.
 
     base_ref: [B*H/8] int32 (scalar prefetch) — vertical band start per
@@ -77,6 +78,14 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
     identically zero. The static chunk loop + a scalar ``pl.when`` keeps
     all slices lane-aligned; out-of-band pixels are flagged by
     ``band_coverage_mask`` exactly like the vertical band.
+
+    ``with_grads``: additionally emit the spatial derivatives
+    ∂out/∂x = Σ_v ty·(R₁−R₀) and ∂out/∂y = Σ_v ty'·blend(R₀,R₁) (pixel
+    units) as two extra outputs — pure VPU readouts of the SAME matmul
+    results (both taps are already computed), so the value+Jacobian
+    sampler costs ~the value alone. This is what makes the sampler
+    forward-mode differentiable (custom_jvp) for the Gauss-Newton/LM
+    solvers, whose 7 jvps per iteration would otherwise pay 7 warps.
     """
     G = ROWS_PER_GROUP
     T = Wp // LANE
@@ -85,8 +94,12 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
     u8_ch = tuple(sorted(u8_ch))
     assert not set(exact_ch) & set(u8_ch), "a channel is hi/lo OR uint8"
 
-    def kernel(base_ref, cb_ref, x_ref, y_ref, img_ref, out_ref, s_scratch,
-               racc, sem):
+    def kernel(base_ref, cb_ref, x_ref, y_ref, img_ref, *rest):
+        if with_grads:
+            out_ref, gx_ref, gy_ref, s_scratch, racc, sem = rest
+        else:
+            out_ref, s_scratch, racc, sem = rest
+            gx_ref = gy_ref = None
         b = pl.program_id(0)
         g = pl.program_id(1)
         idx = b * (H // G) + g
@@ -183,8 +196,13 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
                 x = x_ref[0, r, t * LANE:(t + 1) * LANE].reshape(1, LANE)
                 f = x - jnp.floor(x)                        # [1, LANE] f32
                 y = y_ref[0, r, t * LANE:(t + 1) * LANE].reshape(1, LANE)
-                ty_t = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(y - (v_ids + basef)))  # [BV, LANE]
+                ydiff = y - (v_ids + basef)                 # [BV, LANE]
+                ty_t = jnp.maximum(0.0, 1.0 - jnp.abs(ydiff))
+                if with_grads:
+                    # d tent/dy per band row (subgradient 0 at |ydiff|=0/1,
+                    # same convention as the backward kernel)
+                    tyd_t = jnp.where(jnp.abs(ydiff) < 1.0,
+                                      -jnp.sign(ydiff), 0.0)
                 o0, o1 = 2 * r * LANE, (2 * r + 1) * LANE
                 for ch in range(C):
                     Rc0 = R2[ch * BV:(ch + 1) * BV, o0:o0 + LANE]
@@ -200,8 +218,14 @@ def _make_kernel(C: int, H: int, Wp: int, BV: int, out_dtype,
                         Rc1 = Rc1 / 255.0
                     Rc = Rc0 * (1.0 - f) + Rc1 * f          # [BV, LANE]
                     row = jnp.sum(ty_t * Rc, axis=0, keepdims=True)
-                    out_ref[0, ch, r, t * LANE:(t + 1) * LANE] = (
-                        row[0, :].astype(out_dtype))
+                    sl_t = slice(t * LANE, (t + 1) * LANE)
+                    out_ref[0, ch, r, sl_t] = row[0, :].astype(out_dtype)
+                    if with_grads:
+                        gx = jnp.sum(ty_t * (Rc1 - Rc0), axis=0,
+                                     keepdims=True)
+                        gy = jnp.sum(tyd_t * Rc, axis=0, keepdims=True)
+                        gx_ref[0, ch, r, sl_t] = gx[0, :].astype(out_dtype)
+                        gy_ref[0, ch, r, sl_t] = gy[0, :].astype(out_dtype)
 
     return kernel
 
@@ -451,6 +475,113 @@ def grid_sample_mxu(img: jax.Array, coords: jax.Array, band: int = 32,
     )(base, colbase, x_p, y_p, img_chw)
 
     return out[:, :, :, :W].transpose(0, 2, 3, 1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("band", "interpret", "exact", "u8"))
+def grid_sample_mxu_with_grads(img: jax.Array, coords: jax.Array,
+                               band: int = 32, interpret: bool = False,
+                               exact=True, u8: tuple = ()):
+    """One kernel pass returning (out, dout/dcx, dout/dcy).
+
+    Same semantics/precision knobs as ``grid_sample_mxu``; the spatial
+    derivatives are w.r.t. the NORMALIZED coords (chain-ruled from the
+    kernel's pixel-unit readouts) and cost ~nothing extra — both
+    horizontal taps are already in the matmul results, so the Jacobian
+    is two more VPU readouts. Feeds the forward-mode (custom_jvp)
+    sampler used by the Gauss-Newton/LM refiners, where each solver
+    iteration takes 7 jvps of the residual.
+    """
+    B, H, W, C = img.shape
+    BV, Wp = band_geometry(H, W, band)
+    img_chw, x_p, y_p, base = _prep_layout(img, coords, BV, Wp)
+    colbase = _col_bases(x_p, W, Wp)
+
+    exact_ch, u8_ch = _norm_exact(exact, u8, C)
+    G = ROWS_PER_GROUP
+    kernel = _make_kernel(C, H, Wp, BV, jnp.float32, exact_ch=exact_ch,
+                          u8_ch=u8_ch, with_grads=True)
+    R = (C + len(exact_ch)) * BV
+    out_spec = pl.BlockSpec((1, C, G, Wp),
+                            lambda b, g, base, cb: (b, 0, g, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H // G),
+        in_specs=[
+            pl.BlockSpec((1, G, Wp), lambda b, g, base, cb: (b, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, Wp), lambda b, g, base, cb: (b, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((C, BV, Wp), jnp.float32),
+            pltpu.VMEM((R, G * 2 * LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    shp = jax.ShapeDtypeStruct((B, C, H, Wp), jnp.float32)
+    out, gx, gy = pl.pallas_call(
+        kernel,
+        out_shape=(shp, shp, shp),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(base, colbase, x_p, y_p, img_chw)
+
+    def to_nhwc(a):
+        return a[:, :, :, :W].transpose(0, 2, 3, 1)
+
+    # pixel → normalized chain rule (x_pix = ((cx+1)·W − 1)/2)
+    return to_nhwc(out), to_nhwc(gx) * (W / 2.0), to_nhwc(gy) * (H / 2.0)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5))
+def grid_sample_mxu_fwd_diff(img: jax.Array, coords: jax.Array,
+                             band: int = 32, interpret: bool = False,
+                             exact=True, u8: tuple = ()) -> jax.Array:
+    """grid_sample_mxu with a FORWARD-mode (jvp) rule.
+
+    The custom_vjp sampler (``grid_sample_mxu_diff``) cannot be jvp'd —
+    JAX forbids forward-mode through custom_vjp — but the Gauss-Newton/
+    LM refiners (solver/ba.py, solver/gauss_newton.py) build their
+    Jacobian blocks from jvps. This wrapper's jvp rule evaluates the
+    value + spatial derivatives in ONE kernel pass
+    (``grid_sample_mxu_with_grads``) and assembles
+
+        dout = ∂out/∂cx · ċx + ∂out/∂cy · ċy  [+ sample(img_dot) if the
+               image itself carries a tangent — skipped symbolically
+               when it is data]
+
+    Reverse-mode callers should keep using ``grid_sample_mxu_diff``
+    (its hand-written transposed-matmul backward is cheaper than
+    transposing this jvp).
+    """
+    return grid_sample_mxu(img, coords, band=band, interpret=interpret,
+                           exact=exact, u8=u8)
+
+
+def _gsm_jvp(band, interpret, exact, u8, primals, tangents):
+    img, coords = primals
+    img_dot, coords_dot = tangents
+    zero = jax.custom_derivatives.SymbolicZero
+    if type(coords_dot) is not zero:
+        out, gx, gy = grid_sample_mxu_with_grads(
+            img, coords, band=band, interpret=interpret, exact=exact, u8=u8)
+        dout = gx * coords_dot[..., 0:1] + gy * coords_dot[..., 1:2]
+    else:
+        out = grid_sample_mxu(img, coords, band=band, interpret=interpret,
+                              exact=exact, u8=u8)
+        dout = jnp.zeros_like(out)
+    if type(img_dot) is not zero:
+        dout = dout + grid_sample_mxu(img_dot.astype(img.dtype), coords,
+                                      band=band, interpret=interpret,
+                                      exact=exact, u8=u8)
+    return out, dout
+
+
+grid_sample_mxu_fwd_diff.defjvp(_gsm_jvp, symbolic_zeros=True)
 
 
 # --------------------------------------------------------------------------

@@ -59,6 +59,54 @@ def _residual(pose, depth, target_img, source_img, src_depth, K):
     return (target_img - warped) * valid
 
 
+def _make_mxu_residual(exact, band: int, interpret: bool):
+    """MXU-sampled photometric residual (drop-in for ``_residual``).
+
+    The GN/LM blocks are built from jvps, which JAX forbids through the
+    custom_vjp sampler — this path rides the forward-mode sampler
+    ``grid_sample_mxu_fwd_diff`` instead (value + spatial Jacobian in one
+    kernel pass), replacing 7 XLA gather warps per LM iteration with one
+    Pallas call plus VPU products. The banded kernel's coverage mask
+    folds into the residual's valid mask exactly like the coupled
+    solver's (out-of-band pixels contribute nothing). ``src_depth`` is
+    accepted for signature parity but never sampled — the BA residual
+    ignores the projected depth (the XLA path samples and discards it).
+    """
+    from tcsfm.geom.camera import backproject
+    from tcsfm.geom.se3 import pose_vec2mat
+    from tcsfm.geom.warp import _project_with_mask
+    from tcsfm.ops.warp_mxu import (band_coverage_mask, band_geometry,
+                                    grid_sample_mxu_fwd_diff)
+
+    u8 = ()
+    if exact == "uint8":
+        exact, u8 = (), (0, 1, 2)
+    elif exact == "mixed":
+        exact = False            # RGB-only sampling here (no depth channel)
+
+    def residual(pose, depth, target_img, source_img, src_depth, K):
+        del src_depth
+        b, h, w, _ = source_img.shape
+        cam = backproject(depth, K)
+        pose_mat = pose_vec2mat(-pose[..., :6])
+        coords, _, valid = _project_with_mask(cam, K, pose_mat, h, w)
+        warped = grid_sample_mxu_fwd_diff(source_img, coords, band,
+                                          interpret, exact, u8)
+        bv, wp = band_geometry(h, w, band)
+        in_band = jax.lax.stop_gradient(
+            band_coverage_mask(coords, h, bv, W=w, Wp=wp))
+        v = (valid & in_band)[..., None].astype(warped.dtype)
+        return (target_img - warped) * v
+
+    return residual
+
+
+def _pick_residual(use_mxu_warp, mxu_exact, mxu_band, interpret):
+    if use_mxu_warp:
+        return _make_mxu_residual(mxu_exact, mxu_band, interpret)
+    return _residual
+
+
 def _gn_blocks(r_fn, pose, depth):
     """Gauss-Newton blocks of one residual family vs (pose, depth).
 
@@ -100,6 +148,10 @@ def photometric_ba(
     pose_damping: float = 1e-2,
     depth_damping: float = 1e-2,
     depth_prior_weight: float = 1.0,
+    use_mxu_warp: bool = False,
+    mxu_exact=True,
+    mxu_band: int = 32,
+    interpret: bool = False,
 ) -> BAResult:
     """Jointly refine [B, 6] pose and [B, H, W, 1] target depth.
 
@@ -107,13 +159,16 @@ def photometric_ba(
     initial value (the network prediction) — the BA analogue of the
     reference PFT's ``l_depth_init`` SSIM prior (optimizer.py:89-90),
     and it keeps textureless pixels (J_d ≈ 0) well-conditioned.
+    ``use_mxu_warp`` routes the residual through the forward-mode MXU
+    sampler (see ``_make_mxu_residual``).
     """
     pose0, depth0, target_img, source_img, src_depth, K = _f32(
         pose0, depth0, target_img, source_img, src_depth, K)
     b = pose0.shape[0]
+    res_fn = _pick_residual(use_mxu_warp, mxu_exact, mxu_band, interpret)
 
     def r_of(pose, depth):
-        return _residual(pose, depth, target_img, source_img, src_depth, K)
+        return res_fn(pose, depth, target_img, source_img, src_depth, K)
 
     def cost_of(pose, depth):
         r = r_of(pose, depth)
@@ -293,6 +348,10 @@ def window_ba(
     pose_damping: float = 1e-2,
     depth_damping: float = 1e-2,
     depth_prior_weight: float = 1.0,
+    use_mxu_warp: bool = False,
+    mxu_exact=True,
+    mxu_band: int = 32,
+    interpret: bool = False,
 ) -> WindowBAResult:
     """Jointly refine both window poses and the SHARED target depth.
 
@@ -316,11 +375,13 @@ def window_ba(
         prev_depth, next_depth, K)
     b = pose_prev0.shape[0]
 
+    res_fn = _pick_residual(use_mxu_warp, mxu_exact, mxu_band, interpret)
+
     def r_a_fn(p, d):
-        return _residual(p, d, target_img, prev_img, prev_depth, K)
+        return res_fn(p, d, target_img, prev_img, prev_depth, K)
 
     def r_b_fn(p, d):
-        return _residual(p, d, target_img, next_img, next_depth, K)
+        return res_fn(p, d, target_img, next_img, next_depth, K)
 
     def cost_of(pa, pb, depth):
         r_a, r_b = r_a_fn(pa, depth), r_b_fn(pb, depth)
@@ -453,9 +514,12 @@ def _downsample(x: jax.Array, factor: int) -> jax.Array:
 
 
 def _chain_level(frames, depths, K, x0, iters, pose_damping, depth_damping,
-                 depth_prior_weight, residual_variance_weighting):
+                 depth_prior_weight, residual_variance_weighting,
+                 res_fn=_residual):
     """One pyramid level of `chain_ba`: the joint LM loop at fixed
     resolution. Returns (edge twists, [N,H,W,1] refined depth, costs)."""
+    if frames.shape[1] % 8:
+        res_fn = _residual        # MXU kernel needs H % 8 == 0
     tgt = frames[1:-1]
     prv, nxt = frames[:-2], frames[2:]
     depth0_mid, depth0_bnd = depths[1:-1], depths[jnp.array([0, -1])]
@@ -472,13 +536,13 @@ def _chain_level(frames, depths, K, x0, iters, pose_damping, depth_damping,
     npix = float(np.prod(tgt.shape[1:]))
 
     def r_a_fn(p, d):
-        return _residual(p, d, tgt, prv, d_prv, K_b)
+        return res_fn(p, d, tgt, prv, d_prv, K_b)
 
     def r_b_fn(p, d):
-        return _residual(p, d, tgt, nxt, d_nxt, K_b)
+        return res_fn(p, d, tgt, nxt, d_nxt, K_b)
 
     def r_bnd_fn(p, d):
-        return _residual(p, d, tgt_bnd, src_bnd, d_src_bnd, K_bnd)
+        return res_fn(p, d, tgt_bnd, src_bnd, d_src_bnd, K_bnd)
 
     def poses_of(x):
         # interior: pa_w = -x_w, pb_w = x_{w+1}; boundary: (x_0, -x_{E-1})
@@ -609,7 +673,11 @@ def chain_ba(frames: jax.Array, depths: jax.Array, K: jax.Array,
              depth_damping: float = 1e-2, depth_prior_weight: float = 1.0,
              residual_variance_weighting: bool = True,
              pyramid_levels: int = 1,
-             coarse_iters: int = 6) -> ChainBAResult:
+             coarse_iters: int = 6,
+             use_mxu_warp: bool = False,
+             mxu_exact=True,
+             mxu_band: int = 32,
+             interpret: bool = False) -> ChainBAResult:
     """Joint sequence BA over the window chain (SURVEY §5.7 north star).
 
     Solves ONE nonlinear least-squares problem over all N-1 edge twists
@@ -670,15 +738,16 @@ def chain_ba(frames: jax.Array, depths: jax.Array, K: jax.Array,
     x0 = (jnp.zeros((n_edges, 6))
           .at[:-1].add(-pose0_prev).at[1:].add(pose0_next)) / cnt
 
+    res_fn = _pick_residual(use_mxu_warp, mxu_exact, mxu_band, interpret)
     for level in range(pyramid_levels - 1, 0, -1):
         f = 2 ** level
         x0, _, _ = _chain_level(
             _downsample(frames, f), _downsample(depths, f),
             _scale_intrinsics(K, 1.0 / f), x0, coarse_iters,
             pose_damping, depth_damping, depth_prior_weight,
-            residual_variance_weighting)
+            residual_variance_weighting, res_fn=res_fn)
 
     x, depth, costs = _chain_level(
         frames, depths, K, x0, iters, pose_damping, depth_damping,
-        depth_prior_weight, residual_variance_weighting)
+        depth_prior_weight, residual_variance_weighting, res_fn=res_fn)
     return ChainBAResult(edge_pose=x, depth=depth, cost=costs)

@@ -62,6 +62,10 @@ def gauss_newton_pose(
     K: jax.Array,
     iters: int = 10,
     damping: float = 1e-3,
+    use_mxu_warp: bool = False,
+    mxu_exact=True,
+    mxu_band: int = 32,
+    interpret: bool = False,
 ) -> GNResult:
     """Refine [B, 6] poses by damped Gauss-Newton on photometric residuals.
 
@@ -73,23 +77,35 @@ def gauss_newton_pose(
     """
     b = pose0.shape[0]
     eye6 = jnp.eye(6)
+    if use_mxu_warp:
+        # forward-mode MXU sampler (value + spatial Jacobian in one
+        # kernel pass) — see solver/ba.py::_make_mxu_residual
+        from tcsfm.solver.ba import _make_mxu_residual
+        mxu_res = _make_mxu_residual(mxu_exact, mxu_band, interpret)
+
+        def _res(pose, target_img, source_img, tgt_depth, src_depth, K):
+            r = mxu_res(pose, tgt_depth, target_img, source_img,
+                        src_depth, K)
+            return r, None
+    else:
+        _res = _residuals
 
     def cost_of(pose):
-        r, _ = _residuals(pose, target_img, source_img, tgt_depth,
-                          src_depth, K)
+        r, _ = _res(pose, target_img, source_img, tgt_depth,
+                    src_depth, K)
         return jnp.sum(r * r, axis=(1, 2, 3))
 
     def step(carry, _):
         pose, lam, cost = carry
-        r0, _ = _residuals(pose, target_img, source_img, tgt_depth,
-                           src_depth, K)
+        r0, _ = _res(pose, target_img, source_img, tgt_depth,
+                     src_depth, K)
 
         # J columns via jvp against the 6 basis directions (forward mode:
         # 6 extra warps, each cheap; no [Npix, 6] materialization beyond
         # what the einsum reductions consume)
         def r_of(p):
-            return _residuals(p, target_img, source_img, tgt_depth,
-                              src_depth, K)[0]
+            return _res(p, target_img, source_img, tgt_depth,
+                        src_depth, K)[0]
 
         cols = []
         for k in range(6):

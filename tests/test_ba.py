@@ -354,3 +354,96 @@ class TestChainBA:
         out = np.asarray(fn(jax.device_put(pert_prev, shard),
                             jax.device_put(pert_next, shard)))
         np.testing.assert_allclose(out, base, rtol=1e-4, atol=1e-6)
+
+
+class TestMXUForwardModeResidual:
+    """The forward-mode MXU sampler path of the GN/LM refiners
+    (use_mxu_warp=True routes residuals through grid_sample_mxu_fwd_diff;
+    interpret mode on CPU)."""
+
+    def test_photometric_ba_mxu_matches_xla(self):
+        true_pose, tgt, src, d_t, d_s, K = _setup(seed=26)
+        pert_pose = true_pose.at[:, 2].add(0.006)
+        pert_depth = d_t * 1.1
+        r_x = photometric_ba(pert_pose, pert_depth, tgt, src, d_s, K,
+                             iters=6, depth_prior_weight=0.1)
+        r_m = photometric_ba(pert_pose, pert_depth, tgt, src, d_s, K,
+                             iters=6, depth_prior_weight=0.1,
+                             use_mxu_warp=True, interpret=True)
+        # same solve up to sampler numerics (hi/lo-exact values, jvp taps)
+        np.testing.assert_allclose(np.asarray(r_m.pose),
+                                   np.asarray(r_x.pose), atol=2e-4)
+        cx, cm = np.asarray(r_x.cost)[:, 0], np.asarray(r_m.cost)[:, 0]
+        assert cm[-1] < 0.7 * cm[0], cm
+        np.testing.assert_allclose(cm, cx, rtol=0.05)
+
+    def test_gauss_newton_mxu_matches_xla(self):
+        from tcsfm.solver.gauss_newton import gauss_newton_pose
+
+        true_pose, tgt, src, d_t, d_s, K = _setup(seed=27)
+        pert_pose = true_pose.at[:, 4].add(0.004)
+        r_x = gauss_newton_pose(pert_pose, tgt, src, d_t, d_s, K, iters=6)
+        r_m = gauss_newton_pose(pert_pose, tgt, src, d_t, d_s, K, iters=6,
+                                use_mxu_warp=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(r_m.pose),
+                                   np.asarray(r_x.pose), atol=2e-4)
+        cm = np.asarray(r_m.cost)[:, 0]
+        assert cm[-1] < cm[0]
+
+    def test_window_ba_mxu_matches_xla(self):
+        from tcsfm.solver.ba import window_ba
+
+        seq = make_synthetic_sequence(4, (64, 96), seed=28)
+        t = 1
+        xi_p = relative_lie_alg(seq.gt_poses[t],
+                                seq.gt_poses[t - 1]).astype(np.float32)
+        xi_n = relative_lie_alg(seq.gt_poses[t],
+                                seq.gt_poses[t + 1]).astype(np.float32)
+        args = (
+            jnp.asarray(xi_p[None]).at[:, 2].add(0.005),
+            jnp.asarray(xi_n[None]).at[:, 2].add(-0.005),
+            jnp.asarray(seq.depths[t][None, ..., None]) * 1.1,
+            jnp.asarray(seq.images[t][None]),
+            jnp.asarray(seq.images[t - 1][None]),
+            jnp.asarray(seq.images[t + 1][None]),
+            jnp.asarray(seq.depths[t - 1][None, ..., None]),
+            jnp.asarray(seq.depths[t + 1][None, ..., None]),
+            jnp.asarray(seq.intrinsics[t][None]),
+        )
+        r_x = window_ba(*args, iters=5, depth_prior_weight=0.1)
+        r_m = window_ba(*args, iters=5, depth_prior_weight=0.1,
+                        use_mxu_warp=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(r_m.pose_prev),
+                                   np.asarray(r_x.pose_prev), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(r_m.pose_next),
+                                   np.asarray(r_x.pose_next), atol=3e-4)
+        cm = np.asarray(r_m.cost)[:, 0]
+        assert cm[-1] < cm[0]
+
+    def test_chain_ba_mxu_matches_xla(self):
+        from tcsfm.solver.ba import chain_ba
+
+        seq = make_synthetic_sequence(5, (64, 96), seed=29)
+        xi_prev = np.stack([
+            relative_lie_alg(seq.gt_poses[t], seq.gt_poses[t - 1])
+            for t in range(1, 4)
+        ]).astype(np.float32)
+        xi_next = np.stack([
+            relative_lie_alg(seq.gt_poses[t], seq.gt_poses[t + 1])
+            for t in range(1, 4)
+        ]).astype(np.float32)
+        rng = np.random.RandomState(3)
+        pp = jnp.asarray(xi_prev + 0.004 * rng.randn(3, 6).astype(np.float32))
+        pn = jnp.asarray(xi_next + 0.004 * rng.randn(3, 6).astype(np.float32))
+        frames = jnp.asarray(seq.images)
+        depths = jnp.asarray(seq.depths[..., None])
+        K = jnp.asarray(seq.intrinsics[0])
+        r_x = chain_ba(frames, depths, K, pp, pn, iters=4,
+                       depth_prior_weight=0.1)
+        r_m = chain_ba(frames, depths, K, pp, pn, iters=4,
+                       depth_prior_weight=0.1, use_mxu_warp=True,
+                       interpret=True)
+        np.testing.assert_allclose(np.asarray(r_m.edge_pose),
+                                   np.asarray(r_x.edge_pose), atol=3e-4)
+        cm = np.asarray(r_m.cost)
+        assert cm[-1] < cm[0]
