@@ -135,6 +135,31 @@ def main():
     float(ba_once(*ba_args))
     ba_ms = (measure(lambda: ba_once(*ba_args), reps=3) - latency) * 1e3 / B
 
+    # --- gn (pose-only damped Gauss-Newton, 10 iters) ----------------------
+    stage("compile gn (gauss_newton_pose)")
+    from tcsfm.solver.gauss_newton import gauss_newton_pose
+
+    @jax.jit
+    def gn_once(params, batch_stats, target_img, source_imgs, K):
+        dvars = {"params": params["depth"], "batch_stats": batch_stats}
+        pvars = {"params": params["pose"]}
+        depth_apply = lambda im: depth_model.apply(dvars, im)     # noqa
+        pose_apply = lambda im: pose_model.apply(pvars, im)       # noqa
+        disps = solve_disp(depth_apply, target_img, source_imgs)
+        depths = jnp.stack([
+            disp_to_depth(disps[f][0], cfg.min_depth, cfg.max_depth)[1]
+            for f in range(S + 1)])
+        poses, _ = solve_pose_iteratively(
+            cfg.iterations, depths, pose_apply, target_img, source_imgs, K,
+            use_mxu_warp=True, mxu_exact=cfg.mxu_exact)
+        res = gauss_newton_pose(poses[1], target_img, source_imgs[1],
+                                depths[0], depths[2], K, iters=10,
+                                use_mxu_warp=use_mxu_ba,
+                                mxu_exact=cfg.mxu_exact)
+        return jnp.sum(res.pose)
+    float(gn_once(*ba_args))
+    gn_ms = (measure(lambda: gn_once(*ba_args), reps=3) - latency) * 1e3 / B
+
     # --- chain (block-tridiagonal BA per block, 2-level pyramid) -----------
     stage("compile chain (chain_ba)")
     frames = u8(BLOCK, H, W, 3)
@@ -157,6 +182,7 @@ def main():
     print(json.dumps({
         "adam_ms_per_window": round(adam_ms, 1),
         "ba_ms_per_window": round(ba_ms, 1),
+        "gn_ms_per_window": round(gn_ms, 1),
         "chain_ms_per_window": round(chain_ms, 1),
         "chain_ms_per_block": round(chain_block_ms, 1),
     }), flush=True)

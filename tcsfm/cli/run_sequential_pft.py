@@ -151,13 +151,16 @@ def main(argv=None):
     p.add_argument("--mode", type=str, default="encoder",
                    help="encoder|all_depth|decoder|depth_pred|bottleneck|pose")
     p.add_argument("--refiner", type=str, default="adam",
-                   choices=["adam", "ba", "chain"],
+                   choices=["adam", "ba", "chain", "gn"],
                    help="adam = reference-style PFT on network state; "
                         "ba = direct Gauss-Newton bundle adjustment over "
                         "pose + per-pixel depth (Schur complement); "
                         "chain = joint block-tridiagonal BA over whole "
                         "sequence blocks (cross-window shared-pose "
-                        "coupling, solver/ba.py::chain_ba)")
+                        "coupling, solver/ba.py::chain_ba); "
+                        "gn = pose-only damped Gauss-Newton per pair "
+                        "(cheapest; depth stays at the network prediction, "
+                        "solver/gauss_newton.py)")
     p.add_argument("--chain_block", type=int, default=12,
                    help="frames per chain-BA block (refiner=chain); blocks "
                         "overlap by one frame so edges partition exactly")
@@ -276,6 +279,41 @@ def main(argv=None):
                                        cfg.camera_height / 30.0)
             return poses, poses_inv, res, scale_init, scale_opt
 
+    if args.refiner == "gn":
+        from tcsfm.eval.scale_recovery import scale_recovery
+        from tcsfm.solver.coupled import solve_disp, solve_pose_iteratively
+        from tcsfm.solver.gauss_newton import gauss_newton_pose
+        from tcsfm.utils.helpers import disp_to_depth
+
+        @jax.jit
+        def gn_refine(params, batch_stats, target_img, source_imgs, K):
+            dvars = {"params": params["depth"], "batch_stats": batch_stats}
+            pvars = {"params": params["pose"]}
+            depth_apply = lambda im: depth_model.apply(dvars, im)  # noqa
+            pose_apply = lambda im: pose_model.apply(pvars, im)    # noqa
+            disps = solve_disp(depth_apply, target_img, source_imgs)
+            depths = jnp.stack([
+                disp_to_depth(disps[f][0], cfg.min_depth, cfg.max_depth)[1]
+                for f in range(len(disps))
+            ])
+            poses, poses_inv = solve_pose_iteratively(
+                cfg.iterations, depths, pose_apply, target_img, source_imgs,
+                K, use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
+                mxu_band_guard=cfg.mxu_band_guard, mxu_band=cfg.mxu_band)
+            gn_kw = dict(iters=max(args.epochs // 2, 4),
+                         use_mxu_warp=cfg.use_mxu_warp,
+                         mxu_exact=cfg.mxu_exact, mxu_band=cfg.mxu_band)
+            # forward: target vs NEXT frame (source 1); inverse: next frame
+            # as target vs the window target — mirrors the adam path's
+            # (poses[1], poses_inv[1]) fusion pair
+            res_f = gauss_newton_pose(poses[1], target_img, source_imgs[1],
+                                      depths[0], depths[2], K, **gn_kw)
+            res_i = gauss_newton_pose(poses_inv[1], source_imgs[1],
+                                      target_img, depths[2], depths[0], K,
+                                      **gn_kw)
+            scale = scale_recovery(depths[0], K, cfg.camera_height / 30.0)
+            return poses, poses_inv, res_f, res_i, scale
+
     results = {}
     for seq_name, seq in seqs.items():
         if args.refiner == "chain":
@@ -337,6 +375,17 @@ def main(argv=None):
                 losses.append(np.asarray(res.cost).mean(axis=1))
                 scales_init.append(np.full(n, float(s_init)))
                 scales_opt.append(np.full(n, float(s_opt)))
+            elif args.refiner == "gn":
+                poses, poses_inv, res_f, res_i, s = out
+                init_poses.append(np.asarray(poses[1])[:n])
+                init_inv.append(np.asarray(poses_inv[1])[:n])
+                opt_poses.append(np.asarray(res_f.pose)[:n])
+                opt_inv.append(np.asarray(res_i.pose)[:n])
+                losses.append(np.asarray(res_f.cost).mean(axis=1))
+                # pose-only refinement: depth (and hence the DNet ground-
+                # plane scale) is untouched
+                scales_init.append(np.full(n, float(s)))
+                scales_opt.append(np.full(n, float(s)))
             else:
                 res = out
                 # source 1 is the NEXT frame (forward in time)
@@ -357,6 +406,10 @@ def main(argv=None):
             n = int(valid.sum())
             if args.refiner == "ba":
                 out = ba_refine(
+                    state.params, state.batch_stats, jbatch["target_img"],
+                    jbatch["source_imgs"], jbatch["intrinsics"])
+            elif args.refiner == "gn":
+                out = gn_refine(
                     state.params, state.batch_stats, jbatch["target_img"],
                     jbatch["source_imgs"], jbatch["intrinsics"])
             else:

@@ -143,7 +143,7 @@ class TestSequentialPFTCLI:
         assert not np.allclose(ratio, 1.0)
         assert "synthetic" in r_un and "synthetic" in r_no
 
-    @pytest.mark.parametrize("refiner", ["ba", "chain"])
+    @pytest.mark.parametrize("refiner", ["ba", "chain", "gn"])
     def test_ba_refiners_reduce_photometric_cost(self, model_dir, tmp_path,
                                                  refiner):
         """Both direct-BA refiner paths run end-to-end on a synthetic
@@ -196,7 +196,7 @@ class TestSequentialPFTCLI:
         seq.save_npz(str(d / "sequence_data.npz"))
         return str(root)
 
-    @pytest.mark.parametrize("refiner", ["ba", "chain"])
+    @pytest.mark.parametrize("refiner", ["ba", "chain", "gn"])
     def test_refiners_run_on_file_backed_sequences(self, model_dir,
                                                    file_seq_dir, tmp_path,
                                                    refiner):
