@@ -283,21 +283,45 @@ class PFTOptimizer:
             )
             return loss, (poses, poses_inv, dp, target_disp)
 
-        def step(carry, _):
+        def _one(carry):
             params, opt_state = carry
             (loss, (poses, poses_inv, dp, _disp)), grads = jax.value_and_grad(
                 forward, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
+            return (new_params, opt_state), loss, poses, poses_inv, dp
+
+        def step(carry, _):
+            carry, loss, poses, poses_inv, dp = _one(carry)
             disp_eigen = self._flip_merged_disp(dp, batch_stats, target_img)
-            return (new_params, opt_state), (loss, poses, poses_inv, disp_eigen)
+            return carry, (loss, poses, poses_inv, disp_eigen)
+
+        def step_nodisp(carry, _):
+            carry, loss, poses, poses_inv, _dp = _one(carry)
+            return carry, (loss, poses, poses_inv)
 
         init_carry = (trainable, tx.init(trainable))
         # epochs-1 optimized steps + a final evaluation step without update
         # (the reference skips backprop on the last epoch, optimizer.py:266-268)
-        (final_params, _), scans = jax.lax.scan(
-            step, init_carry, None, length=opts.epochs - 1)
-        losses_hist, poses_hist, poses_inv_hist, disp_hist = scans
+        if self.record_history:
+            (final_params, _), scans = jax.lax.scan(
+                step, init_carry, None, length=opts.epochs - 1)
+            losses_hist, poses_hist, poses_inv_hist, disp_hist = scans
+        else:
+            # the flipped-averaged disparity (2 extra depth forwards per
+            # step) is consumed only for the last ``avg_final_epochs``
+            # entries (helpers.py:35-49) — split the scan so the early
+            # steps skip it. Identical results, epochs-n_avg fewer
+            # flip-merge forwards per window.
+            k = min(max(opts.avg_final_epochs - 1, 0), opts.epochs - 1)
+            carry, scans_a = jax.lax.scan(
+                step_nodisp, init_carry, None, length=opts.epochs - 1 - k)
+            (final_params, _), scans_b = jax.lax.scan(
+                step, carry, None, length=k)
+            losses_hist = jnp.concatenate([scans_a[0], scans_b[0]])
+            poses_hist = jnp.concatenate([scans_a[1], scans_b[1]])
+            poses_inv_hist = jnp.concatenate([scans_a[2], scans_b[2]])
+            disp_hist = scans_b[3]
 
         final_loss, (final_poses, final_poses_inv, final_dp, final_target_disp
                      ) = forward(final_params)
