@@ -290,7 +290,7 @@ def main():
     # + (1 warmup + aux_reps) fetches + ~1s/call compute.
     stage("compile PFT")
     pft_est = 60.0 + (1 + aux_reps) * (latency + 1.0)
-    if time.monotonic() - t_start + pft_est > 700.0:
+    if time.monotonic() - t_start + pft_est > WATCHDOG_S - 80.0:
         stage(f"skipping PFT (wall-clock budget: est +{pft_est:.0f}s)")
         finish(result)
         return
@@ -326,7 +326,7 @@ def main():
     # LAST so it can never crowd out the train/PFT fields) -----------------
     stage("measure hi/lo forward")
     hilo_est = 30.0 + (1 + aux_reps) * (latency + 0.1)
-    if time.monotonic() - t_start + hilo_est <= 780.0:
+    if time.monotonic() - t_start + hilo_est <= WATCHDOG_S:
         try:
             float(step(*args, mxu_exact=True))   # compile + warmup
             total_hilo = measure(lambda *a: step(*a, mxu_exact=True), args,
