@@ -34,14 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               os.path.expanduser("~/.jax_cache"))
-    os.makedirs(cache_dir, exist_ok=True)
+    from _benchlib import make_noop, measure_best, measure_latency, setup_cache
+
+    setup_cache()
 
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
 
@@ -80,20 +77,13 @@ def main():
     tgt, srcs = u8(B, H, W, 3), u8(S, B, H, W, 3)
     Kb = jnp.asarray(np.broadcast_to(Kmat, (B, 3, 3)).copy())
 
-    @jax.jit
-    def noop(x):
-        return x + 1.0
+    noop = make_noop()
+    latency = measure_latency(noop, reps=10)
 
     def measure(fn, reps):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn())              # scalar fetch forces completion
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    float(noop(jnp.float32(0.0)))
-    latency = measure(lambda: noop(jnp.float32(0.0)), reps=10)
+        # scalar fetch inside fn forces completion; latency subtracted by
+        # callers below
+        return measure_best(lambda: float(fn()), reps) 
 
     # --- adam / PFT (20 epochs, encoder mode) ------------------------------
     stage("compile adam (PFT)")

@@ -31,15 +31,12 @@ def main():
                    help="train step without coupled-iteration remat")
     args = p.parse_args()
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               os.path.expanduser("~/.jax_cache"))
-    os.makedirs(cache_dir, exist_ok=True)
+    from _benchlib import make_noop, measure_best, measure_latency, setup_cache
+
+    setup_cache()
 
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tcsfm.config import Config
     from tcsfm.solver.coupled import solve_disp, solve_pose_iteratively
@@ -67,22 +64,15 @@ def main():
         [jnp.tile(tgt, (2 * S, 1, 1, 1)),
          jnp.concatenate([srcs, srcs], 0).reshape(2 * S * B, H, W, 3)], -1)
 
-    @jax.jit
-    def noop(x):
-        return x + 1.0
-
-    def _t(fn, fargs):
-        t0 = time.perf_counter()
-        float(fn(*fargs))
-        return time.perf_counter() - t0
+    noop = make_noop()
 
     def timeit(name, fn, *fargs):
         if args.only and args.only not in name:
             return
         float(fn(*fargs))                       # compile + warm
-        lat = min(_t(noop, (jnp.float32(0.0),)) for _ in range(3))
-        best = min(_t(fn, fargs) for _ in range(args.reps))
-        print(f"{name:34s} {max(best - lat, 0.0) * 1e3:8.2f} ms", flush=True)
+        lat = measure_latency(noop)
+        best = measure_best(lambda: float(fn(*fargs)), args.reps, lat)
+        print(f"{name:34s} {best * 1e3:8.2f} ms", flush=True)
 
     # --- encoder only ------------------------------------------------------
     @jax.jit

@@ -75,7 +75,8 @@ def main(argv=None):
     import jax
 
     from tcsfm.config import Config
-    from tcsfm.data.dataset import SequenceData
+    from tcsfm.data.dataset import (sequence_sources,
+                                    sequences_uint8_sourced)
     from tcsfm.data.synthetic import make_synthetic_sequence
     from tcsfm.eval.vo import (VOEvaluator, evaluate_saved_predictions,
                                save_predictions)
@@ -95,18 +96,19 @@ def main(argv=None):
     if args.mixed_sampler:
         cfg = cfg.replace(mxu_exact="mixed")
     if args.synthetic:
-        seqs = {"synthetic": make_synthetic_sequence(24, (64, 96), seed=11)}
+        sources = {"synthetic":
+                   lambda: make_synthetic_sequence(24, (64, 96), seed=11)}
+        all_u8 = False                   # in-memory float frames
     else:
-        seqs = {}
-        for seq_name in args.seqs:
-            d = os.path.join(args.data_dir, seq_name)
-            npz = os.path.join(d, "sequence_data.npz")
-            seqs[seq_name] = (
-                SequenceData.from_npz(npz) if os.path.exists(npz)
-                else SequenceData.from_reference_pkl(d, seq_name))
+        # LAZY loaders + header-only uint8 probes: sequences load one at
+        # a time inside the eval loop (holding every sequence's in-memory
+        # frames simultaneously was a multi-GB regression), and the
+        # sampler gate never materializes image payloads.
+        sources = sequence_sources(args.data_dir, args.seqs)
+        all_u8 = sequences_uint8_sourced(args.data_dir, args.seqs)
 
     if (args.use_mxu_warp and not args.no_uint8 and cfg.mxu_exact is True
-            and all(s.uint8_sourced for s in seqs.values())):
+            and all_u8):
         # uint8-sourced frames (file-backed decodes, uint8 arrays) have
         # float values exactly k/255, so the single-pass 255x-integer
         # sampler is f32-exact (measured MORE accurate than the hi/lo
@@ -133,7 +135,8 @@ def main(argv=None):
         logger = ResultsLogger(os.path.join(args.plot_dir, "results.csv"))
 
     all_results = {}
-    for seq_name, seq in seqs.items():
+    for seq_name, load_seq in sources.items():
+        seq = load_seq()                 # one sequence in memory at a time
         if args.load_preds:
             res = evaluate_saved_predictions(
                 os.path.join(args.load_preds, f"{seq_name}_preds.npz"),

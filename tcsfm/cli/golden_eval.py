@@ -84,7 +84,8 @@ def run_real(args) -> dict:
     import jax
 
     from tcsfm.config import Config
-    from tcsfm.data.dataset import SequenceData
+    from tcsfm.data.dataset import (sequence_sources,
+                                    sequences_uint8_sourced)
     from tcsfm.eval.vo import VOEvaluator
     from tcsfm.train.checkpoint import load_checkpoint
     from tcsfm.train.trainer import create_train_state
@@ -94,15 +95,11 @@ def run_real(args) -> dict:
         cfg = cfg.replace(iterations=args.iterations)
     use_mxu = jax.default_backend() not in ("cpu",)
 
-    seqs = {}
-    for seq_name in args.seqs:
-        d = os.path.join(args.data_dir, seq_name)
-        npz = os.path.join(d, "sequence_data.npz")
-        seqs[seq_name] = (SequenceData.from_npz(npz) if os.path.exists(npz)
-                          else SequenceData.from_reference_pkl(d, seq_name))
+    # lazy loaders + header-only probes: one sequence in memory at a time
+    sources = sequence_sources(args.data_dir, args.seqs)
 
     if (use_mxu and cfg.mxu_exact is True
-            and all(s.uint8_sourced for s in seqs.values())):
+            and sequences_uint8_sourced(args.data_dir, args.seqs)):
         # uint8-sourced frames have float values exactly k/255: single-pass
         # integer-exact sampling (ops/warp_mxu), f32-exact at ~1.8x the
         # hi/lo speed. Gated on the data property — an in-memory float
@@ -116,8 +113,9 @@ def run_real(args) -> dict:
                      use_mxu_warp=use_mxu)
 
     out = {"mode": "real", "seqs": {}, "pass": True}
-    for seq_name, seq in seqs.items():
-        res = ev.run_sequence(seq, batch_size=args.batch, verbose=False)
+    for seq_name, load_seq in sources.items():
+        res = ev.run_sequence(load_seq(), batch_size=args.batch,
+                              verbose=False)
         cmp = compare_to_baseline(seq_name, res["errors_dnet"])
         print_table(seq_name, cmp)
         out["seqs"][seq_name] = cmp
@@ -149,7 +147,6 @@ def run_fast_sampler_ab(args) -> dict:
                          "(the Pallas MXU sampler does not run on CPU)")
 
     from tcsfm.config import Config
-    from tcsfm.data.dataset import SequenceData
     from tcsfm.data.synthetic import make_synthetic_sequence
     from tcsfm.eval.vo import VOEvaluator
     from tcsfm.train.checkpoint import load_checkpoint
@@ -168,17 +165,16 @@ def run_fast_sampler_ab(args) -> dict:
         seqs = {"synthetic": make_synthetic_sequence(
             max(16, args.synthetic_frames), (h, w), seed=11)}
     else:
-        seqs = {}
-        for seq_name in args.seqs:
-            d = os.path.join(args.data_dir, seq_name)
-            npz = os.path.join(d, "sequence_data.npz")
-            seqs[seq_name] = (
-                SequenceData.from_npz(npz) if os.path.exists(npz)
-                else SequenceData.from_reference_pkl(d, seq_name))
+        from tcsfm.data.dataset import sequence_sources
+
+        seqs = {n: load for n, load in
+                sequence_sources(args.data_dir, args.seqs).items()}
 
     variants = [("fast", False), ("mixed", "mixed")]
     out = {"mode": "fast_sampler_ab", "seqs": {}, "pass": True}
     for name, seq in seqs.items():
+        if callable(seq):
+            seq = seq()                  # lazy real-data loader
         res = {}
         for label, exact in [("exact", True)] + variants:
             ev = VOEvaluator(cfg.replace(mxu_exact=exact), depth_model,

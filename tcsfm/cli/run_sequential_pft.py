@@ -190,7 +190,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from tcsfm.config import Config, PFTOptions
-    from tcsfm.data.dataset import SequenceData, SfMWindowDataset
+    from tcsfm.data.dataset import (SfMWindowDataset, sequence_sources,
+                                    sequences_uint8_sourced)
     from tcsfm.data.loader import BatchLoader
     from tcsfm.data.synthetic import make_synthetic_sequence
     from tcsfm.data.transforms import WindowTransform
@@ -208,18 +209,16 @@ def main(argv=None):
         cfg = cfg.replace(use_mxu_warp=True)
 
     if args.synthetic:
-        seqs = {"synthetic": make_synthetic_sequence(16, (64, 96), seed=13)}
+        sources = {"synthetic":
+                   lambda: make_synthetic_sequence(16, (64, 96), seed=13)}
+        all_u8 = False                   # in-memory float frames
     else:
-        seqs = {}
-        for seq_name in args.seqs:
-            d = os.path.join(args.data_dir, seq_name)
-            npz = os.path.join(d, "sequence_data.npz")
-            seqs[seq_name] = (
-                SequenceData.from_npz(npz) if os.path.exists(npz)
-                else SequenceData.from_reference_pkl(d, seq_name))
+        # lazy loaders + header-only probes (tcsfm.data.dataset): one
+        # sequence's image payload in memory at a time
+        sources = sequence_sources(args.data_dir, args.seqs)
+        all_u8 = sequences_uint8_sourced(args.data_dir, args.seqs)
 
-    if (cfg.use_mxu_warp and cfg.mxu_exact is True
-            and all(s.uint8_sourced for s in seqs.values())):
+    if (cfg.use_mxu_warp and cfg.mxu_exact is True and all_u8):
         # uint8-sourced frames (file-backed decodes, uint8 arrays) have
         # float values exactly k/255: single-pass integer-exact sampling at
         # ~1.8x the hi/lo split's speed (ops/warp_mxu). Gated on the data
@@ -315,7 +314,8 @@ def main(argv=None):
             return poses, poses_inv, res_f, res_i, scale
 
     results = {}
-    for seq_name, seq in seqs.items():
+    for seq_name, load_seq in sources.items():
+        seq = load_seq()                 # one sequence in memory at a time
         if args.refiner == "chain":
             pose_init, pose_opt, sc_edge, c0, c1 = _chain_refine_sequence(
                 seq, args, cfg, state, depth_model, pose_model)

@@ -3,6 +3,7 @@ decoded-frame cache used by every dataset."""
 
 from __future__ import annotations
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict
 
@@ -46,6 +47,7 @@ def cached_frame(cache: Dict, key, decode: Callable[[], np.ndarray],
 # One shared daemon pool for every BatchLoader (loaders are constructed
 # per epoch — a pool per loader would leak threads).
 _DECODE_POOL: ThreadPoolExecutor | None = None
+_DECODE_POOL_LOCK = threading.Lock()
 
 
 def decode_pool(threads: int) -> ThreadPoolExecutor:
@@ -56,9 +58,13 @@ def decode_pool(threads: int) -> ThreadPoolExecutor:
     shutdown here would raise 'cannot schedule new futures' on its next
     batch); dropping the global reference lets its worker threads exit
     once the last loader holding it is collected (the executor's weakref
-    wake-up)."""
+    wake-up). The check-then-set runs under a lock: loaders resolve the
+    pool from their prefetch worker threads, and two concurrent loaders
+    racing here would otherwise both construct executors (one stranding
+    its worker threads until GC)."""
     global _DECODE_POOL
-    if _DECODE_POOL is None or threads > _DECODE_POOL._max_workers:
-        _DECODE_POOL = ThreadPoolExecutor(max_workers=threads,
-                                          thread_name_prefix="tcsfm-decode")
-    return _DECODE_POOL
+    with _DECODE_POOL_LOCK:
+        if _DECODE_POOL is None or threads > _DECODE_POOL._max_workers:
+            _DECODE_POOL = ThreadPoolExecutor(
+                max_workers=threads, thread_name_prefix="tcsfm-decode")
+        return _DECODE_POOL

@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import pickle
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -108,6 +108,34 @@ class SequenceData:
             kw["depths"] = d["depths"]
         return cls(**kw)
 
+    @staticmethod
+    def probe_uint8_sourced(seq_dir: str, seq_name: str) -> bool:
+        """``uint8_sourced`` of the sequence stored in ``seq_dir`` WITHOUT
+        materializing its image payload: for an npz index, only the
+        ``images`` member's .npy header (dtype) is read from the zip
+        stream; reference-pkl layouts are file-backed (always uint8
+        decodes). Lets the CLIs pick the sampler mode up front while
+        still loading sequences one at a time (holding every sequence's
+        in-memory frames simultaneously was a multi-GB regression)."""
+        npz = os.path.join(seq_dir, "sequence_data.npz")
+        if not os.path.exists(npz):
+            return True                        # pkl layout: file-backed
+        import zipfile
+
+        from numpy.lib import format as npfmt
+
+        with zipfile.ZipFile(npz) as z:
+            names = set(z.namelist())
+            if "images.npy" in names:
+                with z.open("images.npy") as f:
+                    version = npfmt.read_magic(f)
+                    if version == (1, 0):
+                        _, _, dtype = npfmt.read_array_header_1_0(f)
+                    else:
+                        _, _, dtype = npfmt.read_array_header_2_0(f)
+                return dtype == np.uint8
+            return "image_files.npy" in names
+
     def save_npz(self, path: str) -> None:
         kw = dict(
             name=self.name, intrinsics=self.intrinsics,
@@ -121,6 +149,34 @@ class SequenceData:
         if self.depths is not None:
             kw["depths"] = self.depths
         np.savez_compressed(path, **kw)
+
+
+def sequence_sources(data_dir: str, seq_names: Sequence[str]
+                     ) -> Dict[str, "Callable[[], SequenceData]"]:
+    """name -> zero-arg LAZY loader per sequence directory (npz index if
+    present, else the reference pkl layout). The single resolution point
+    for the eval CLIs; callers iterate and load ONE sequence at a time so
+    in-memory image payloads are never all held simultaneously."""
+    import functools
+
+    out: Dict[str, "Callable[[], SequenceData]"] = {}
+    for seq_name in seq_names:
+        d = os.path.join(data_dir, seq_name)
+        npz = os.path.join(d, "sequence_data.npz")
+        if os.path.exists(npz):
+            out[seq_name] = functools.partial(SequenceData.from_npz, npz)
+        else:
+            out[seq_name] = functools.partial(
+                SequenceData.from_reference_pkl, d, seq_name)
+    return out
+
+
+def sequences_uint8_sourced(data_dir: str, seq_names: Sequence[str]) -> bool:
+    """All sequences' ``uint8_sourced`` via header probes (no image data
+    loaded) — the sampler-mode gate the eval CLIs consult up front."""
+    return all(
+        SequenceData.probe_uint8_sourced(os.path.join(data_dir, n), n)
+        for n in seq_names)
 
 
 def relative_lie_alg(T_target: np.ndarray, T_source: np.ndarray) -> np.ndarray:

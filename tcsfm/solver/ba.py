@@ -739,13 +739,19 @@ def chain_ba(frames: jax.Array, depths: jax.Array, K: jax.Array,
           .at[:-1].add(-pose0_prev).at[1:].add(pose0_next)) / cnt
 
     res_fn = _pick_residual(use_mxu_warp, mxu_exact, mxu_band, interpret)
+    # coarse pyramid levels sample ANTIALIASED-DOWNSAMPLED frames whose
+    # values are no longer k/255 — the uint8 255x-integer mode would
+    # silently quantize them (~2e-3/value). Coarse levels force hi/lo.
+    coarse_exact = True if mxu_exact == "uint8" else mxu_exact
+    coarse_res_fn = _pick_residual(use_mxu_warp, coarse_exact, mxu_band,
+                                   interpret)
     for level in range(pyramid_levels - 1, 0, -1):
         f = 2 ** level
         x0, _, _ = _chain_level(
             _downsample(frames, f), _downsample(depths, f),
             _scale_intrinsics(K, 1.0 / f), x0, coarse_iters,
             pose_damping, depth_damping, depth_prior_weight,
-            residual_variance_weighting, res_fn=res_fn)
+            residual_variance_weighting, res_fn=coarse_res_fn)
 
     x, depth, costs = _chain_level(
         frames, depths, K, x0, iters, pose_damping, depth_damping,

@@ -447,3 +447,33 @@ class TestMXUForwardModeResidual:
                                    np.asarray(r_x.edge_pose), atol=3e-4)
         cm = np.asarray(r_m.cost)
         assert cm[-1] < cm[0]
+
+    def test_chain_ba_uint8_pyramid_matches_hilo(self):
+        """uint8 sampler mode + pyramid: coarse levels sample ANTIALIASED
+        downsampled frames (no longer k/255) and must force hi/lo — with
+        the fix, a uint8-mode pyramid solve on uint8-grid data matches the
+        all-hi/lo solve (both exact everywhere)."""
+        from tcsfm.solver.ba import chain_ba
+
+        seq = make_synthetic_sequence(5, (64, 96), seed=33)
+        frames = jnp.asarray(
+            np.round(np.asarray(seq.images) * 255.0) / 255.0)
+        depths = jnp.asarray(seq.depths[..., None])
+        K = jnp.asarray(seq.intrinsics[0])
+        xi_prev = np.stack([
+            relative_lie_alg(seq.gt_poses[t], seq.gt_poses[t - 1])
+            for t in range(1, 4)
+        ]).astype(np.float32)
+        xi_next = np.stack([
+            relative_lie_alg(seq.gt_poses[t], seq.gt_poses[t + 1])
+            for t in range(1, 4)
+        ]).astype(np.float32)
+        rng = np.random.RandomState(5)
+        pp = jnp.asarray(xi_prev + 0.004 * rng.randn(3, 6).astype(np.float32))
+        pn = jnp.asarray(xi_next + 0.004 * rng.randn(3, 6).astype(np.float32))
+        kw = dict(iters=3, coarse_iters=3, pyramid_levels=2,
+                  depth_prior_weight=0.1, use_mxu_warp=True, interpret=True)
+        r_u8 = chain_ba(frames, depths, K, pp, pn, mxu_exact="uint8", **kw)
+        r_hl = chain_ba(frames, depths, K, pp, pn, mxu_exact=True, **kw)
+        np.testing.assert_allclose(np.asarray(r_u8.edge_pose),
+                                   np.asarray(r_hl.edge_pose), atol=3e-4)

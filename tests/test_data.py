@@ -257,3 +257,47 @@ class TestSynthetic:
         tgt = seq.images[t]
         err = np.abs(w - tgt)[v].mean()
         assert err < 0.03, f"photometric error {err}"
+
+
+class TestSequenceSources:
+    """Lazy CLI sequence resolution + the header-only uint8 probe."""
+
+    def test_probe_matches_loaded_property(self, tmp_path):
+        from tcsfm.data.dataset import (SequenceData, sequence_sources,
+                                        sequences_uint8_sourced)
+
+        n, h, w = 4, 16, 24
+        rng = np.random.RandomState(0)
+        base = dict(
+            intrinsics=np.tile(np.eye(3, dtype=np.float32), (n, 1, 1)),
+            gt_poses=np.tile(np.eye(4), (n, 1, 1)),
+            vo_poses=np.tile(np.eye(4), (n, 1, 1)),
+            timestamps=np.arange(n, dtype=np.float64),
+        )
+        cases = {
+            "u8mem": SequenceData(
+                name="u8mem",
+                images=rng.randint(0, 255, (n, h, w, 3)).astype(np.uint8),
+                **base),
+            "floatmem": SequenceData(
+                name="floatmem",
+                images=rng.rand(n, h, w, 3).astype(np.float32), **base),
+            "filebacked": SequenceData(
+                name="filebacked",
+                image_files=np.asarray([f"/nonexistent/{i}.jpg"
+                                        for i in range(n)]), **base),
+        }
+        for name, seq in cases.items():
+            d = tmp_path / name
+            d.mkdir()
+            seq.save_npz(str(d / "sequence_data.npz"))
+            probed = SequenceData.probe_uint8_sourced(str(d), name)
+            assert probed == seq.uint8_sourced, name
+        # lazy loaders round-trip and the all-seqs gate composes per-seq
+        src = sequence_sources(str(tmp_path), list(cases))
+        for name, load in src.items():
+            got = load()
+            assert got.uint8_sourced == cases[name].uint8_sourced
+        assert not sequences_uint8_sourced(str(tmp_path), list(cases))
+        assert sequences_uint8_sourced(str(tmp_path),
+                                       ["u8mem", "filebacked"])
