@@ -15,7 +15,16 @@ latency of a trivial kernel is subtracted.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N,
-   "train_step_ms": N, "train_frames_per_s": N, "pft_windows_per_s": N}
+   "forward_ms_min"/"forward_ms_median"/"forward_chain_len"/
+   "forward_n_reps"/"unchained_fps"/"fetch_latency_s": ...,
+   "train_step_ms": N, "train_frames_per_s": N,
+   "pft_windows_per_s": N (window batch 4), "pft_windows_per_s_b6": N}
+
+The headline ``value`` is measured with K=10 forward steps scan-chained
+into ONE fetch (variance-proofing, round-4 verdict #2): per-fetch tunnel
+jitter lands on the number at 1/K weight, so a 12% tunnel swing moves it
+<1.5%. ``unchained_fps`` is the rounds-1-4 one-fetch-per-rep methodology,
+kept for continuity and as the in-run variance comparison.
 
 Failure policy (round-3 fix): backend init retries are bounded by a TOTAL
 budget (~3 min, not 8x120s) and on persistent failure the JSON line is
@@ -62,8 +71,15 @@ METRIC = {
 RESULT = dict(METRIC)
 
 
+# serializes the watchdog's JSON emit against main-thread stage prints:
+# an interleaved partial line would corrupt the single-line JSON the
+# round driver parses (round-4 advisor finding)
+IO_LOCK = threading.Lock()
+
+
 def emit(payload):
-    print(json.dumps(payload), flush=True)
+    with IO_LOCK:
+        print(json.dumps(payload), flush=True)
 
 
 def start_watchdog():
@@ -135,7 +151,9 @@ def main():
 
     def stage(msg):
         RESULT["stage"] = msg     # shows WHERE a watchdog fire happened
-        print(f"# [{time.monotonic() - t_start:6.1f}s] {msg}", flush=True)
+        with IO_LOCK:
+            print(f"# [{time.monotonic() - t_start:6.1f}s] {msg}",
+                  flush=True)
 
     def finish(payload):
         watchdog.cancel()
@@ -188,6 +206,25 @@ def main():
         # chainable scalar output: forces full execution on fetch
         return jnp.sum(poses)
 
+    # K forward steps scan-chained into ONE fetch: the headline number
+    # then carries 1/K of the per-fetch tunnel noise (round-4 verdict:
+    # a 12% tunnel-latency swing moved the official number; chained, the
+    # same swing moves it <~1.5%). The carry feeds the next step's input
+    # at 1e-30 scale (far below f32 ulp of [0,1] pixels — numerically
+    # identity) so XLA cannot CSE the K identical forwards.
+    K_CHAIN = 10
+
+    @functools.partial(jax.jit, static_argnames=("mxu_exact",))
+    def step_chained(params, batch_stats, target_img, source_imgs, K,
+                     mxu_exact="uint8"):
+        def body(carry, _):
+            t = target_img + carry * 1e-30
+            poses = forward(params, batch_stats, t, source_imgs, K,
+                            mxu_exact)
+            return carry + jnp.sum(poses), None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K_CHAIN)
+        return out
+
     @jax.jit
     def noop(x):
         return x + 1.0
@@ -209,18 +246,21 @@ def main():
     stage("compile forward")
     float(step(*args))
     float(noop(jnp.float32(0.0)))
+    stage("compile chained forward")
+    float(step_chained(*args))
 
     def measure(fn, fargs, reps):
-        best = float("inf")
+        """(best, median, times): wall time per scalar-fetch-forced call."""
+        times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(fn(*fargs))        # scalar fetch forces completion
-            best = min(best, time.perf_counter() - t0)
-        return best
+            times.append(time.perf_counter() - t0)
+        return min(times), float(np.median(times)), times
 
     # dispatch+fetch round-trip latency, measured on a trivial kernel and
     # subtracted (block_until_ready does not wait under the remote tunnel)
-    latency = measure(noop, (jnp.float32(0.0),), reps=5)
+    latency, _, _ = measure(noop, (jnp.float32(0.0),), reps=5)
     # Adaptive rep counts: round 3's driver run hit ~23 s PER FETCH of
     # tunnel latency, so the fixed 10+10+6 fetch schedule burned 610 s on
     # the forward alone and the PFT measurement was skipped on the
@@ -229,23 +269,37 @@ def main():
     if latency > 5.0:
         fwd_reps, aux_reps = 3, 2
     elif latency > 1.0:
-        fwd_reps, aux_reps = 5, 3
+        fwd_reps, aux_reps = 4, 3
     else:
-        fwd_reps, aux_reps = 10, 6
+        fwd_reps, aux_reps = 6, 6
     stage(f"measure forward (latency {latency:.2f}s/fetch, "
           f"reps {fwd_reps}/{aux_reps})")
-    total = measure(step, args, reps=fwd_reps)
-    per_call = max(total - latency, 1e-6)
+    # headline: K-chained (tunnel-noise-immune); unchained kept alongside
+    # for continuity with rounds 1-4 and as the in-run variance demo
+    best_c, med_c, _ = measure(step_chained, args, reps=fwd_reps)
+    per_call = max(best_c - latency, 1e-6) / K_CHAIN
+    per_call_med = max(med_c - latency, 1e-6) / K_CHAIN
     frames_per_s = B / per_call
+    best_u, med_u, _ = measure(step, args, reps=fwd_reps)
+    unchained_fps = B / max(best_u - latency, 1e-6)
 
     result = RESULT               # sub-benchmarks land fields in place so
     result.update({               # a watchdog fire reports them anyway
         "value": round(frames_per_s, 2),
         "vs_baseline": round(frames_per_s / BASELINE_FPS, 2),
+        "forward_ms_min": round(per_call * 1e3, 2),
+        "forward_ms_median": round(per_call_med * 1e3, 2),
+        "forward_chain_len": K_CHAIN,
+        "forward_n_reps": fwd_reps,
+        "unchained_fps": round(unchained_fps, 2),
+        "unchained_fps_median": round(B / max(med_u - latency, 1e-6), 2),
+        "fetch_latency_s": round(latency, 4),
         "exact_hilo_fps": None,
         "train_step_ms": None,
         "train_frames_per_s": None,
         "pft_windows_per_s": None,
+        "pft_window_batch": None,
+        "pft_windows_per_s_b6": None,
     })
 
     # --- full TRAIN step (depth -> coupled solver -> loss -> grads -> Adam;
@@ -304,23 +358,37 @@ def main():
             # measure that path
             pft = PFTOptimizer(cfg.replace(mxu_exact="uint8"), opts,
                                depth_model, pose_model, mode="encoder")
-            pft_batch = {"target_img": args[2], "source_imgs": args[3],
-                         "intrinsics": args[4]}
 
-            def pft_once():
+            def pft_once(pft_batch):
                 r = pft.optimize_window_jit(pft_batch, params["depth"],
                                             params["pose"], batch_stats)
                 float(jnp.sum(r.poses_opt) + jnp.sum(r.disp_opt))
                 return r
-            pft_once()                      # compile + warmup
-            best = float("inf")
-            for _ in range(min(3, aux_reps)):
-                t0 = time.perf_counter()
-                pft_once()
-                best = min(best, time.perf_counter() - t0)
-            pft_per_call = max(best - latency, 1e-6)
-            # B independent target frames refined per call = B windows
-            result["pft_windows_per_s"] = round(B / pft_per_call, 2)
+
+            def measure_pft(wb):
+                """windows/s at window batch wb (compiles per shape)."""
+                pft_batch = {"target_img": args[2][:wb],
+                             "source_imgs": args[3][:, :wb],
+                             "intrinsics": args[4][:wb]}
+                pft_once(pft_batch)         # compile + warmup
+                best = float("inf")
+                for _ in range(min(3, aux_reps)):
+                    t0 = time.perf_counter()
+                    pft_once(pft_batch)
+                    best = min(best, time.perf_counter() - t0)
+                return wb / max(best - latency, 1e-6)
+
+            # headline at window batch 4: the CLI default, and BELOW the
+            # measured HBM knee (round-3: 252 ms/win at wb=4 vs 478 at
+            # wb=6 — the round-4 driver number sat on the knee and
+            # understated the capability by ~30%)
+            result["pft_windows_per_s"] = round(measure_pft(4), 2)
+            result["pft_window_batch"] = 4
+            # wb=6 secondary (knee visibility), budget permitting
+            pft6_est = 60.0 + (1 + min(3, aux_reps)) * (latency + 3.0)
+            if (time.monotonic() - t_start + pft6_est
+                    <= WATCHDOG_S - 110.0):
+                result["pft_windows_per_s_b6"] = round(measure_pft(6), 2)
         except Exception:  # noqa: BLE001
             traceback.print_exc()
 
@@ -331,9 +399,9 @@ def main():
     if time.monotonic() - t_start + hilo_est <= WATCHDOG_S - 30.0:
         try:
             float(step(*args, mxu_exact=True))   # compile + warmup
-            total_hilo = measure(lambda *a: step(*a, mxu_exact=True), args,
-                                 reps=aux_reps)
-            hilo_fps = B / max(total_hilo - latency, 1e-6)
+            best_h, _, _ = measure(lambda *a: step(*a, mxu_exact=True),
+                                   args, reps=aux_reps)
+            hilo_fps = B / max(best_h - latency, 1e-6)
             result["exact_hilo_fps"] = round(hilo_fps, 2)
         except Exception:  # noqa: BLE001
             traceback.print_exc()

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Chain-BA flagship benchmark: KITTI-09-scale sequence, all refiners.
+
+Runs `run_sequential_pft` over ONE long synthetic drive sequence
+(world-anchored texture, `data/synthetic.py::make_drive_sequence` — 1,504
+frames at med res by default ~= KITTI seq 09's 1,591 frames) through each
+refiner on the real chip, and prints a single accuracy/wall-clock
+comparison table (round-4 verdict #5):
+
+  * chain — joint block-tridiagonal BA over 12-frame blocks
+    (solver/ba.py::chain_ba), the framework's flagship refiner;
+  * ba    — per-window joint pose+depth BA + information-weighted fusion
+    (window_ba + fuse_pose_estimates, the sequence_ba gate);
+  * gn    — pose-only damped Gauss-Newton per pair;
+  * adam  — reference-style PFT (20-epoch encoder optimization), the
+    behavioral baseline (skipped with --skip_adam; ~8 min of the run).
+
+The companion partitioning evidence for chain BA's distributed claim is
+scripts/chain_hlo_trace.py (compiled-HLO collective dump on an 8-device
+mesh). Usage:
+
+    python scripts/chain_flagship.py [--frames 1504 --size 192 640]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=1504)
+    p.add_argument("--size", type=int, nargs=2, default=(192, 640))
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--window_batch", type=int, default=4)
+    p.add_argument("--skip_adam", action="store_true")
+    p.add_argument("--refiners", type=str, default="",
+                   help="comma list override (default: chain,ba,gn[,adam])")
+    p.add_argument("--out", type=str, default="")
+    args = p.parse_args(argv)
+
+    from tcsfm.cli.run_sequential_pft import main as pft_main
+
+    refiners = (args.refiners.split(",") if args.refiners else
+                ["chain", "ba", "gn"] + ([] if args.skip_adam else ["adam"]))
+
+    base = ["--synthetic", "--synthetic_frames", str(args.frames),
+            "--synthetic_size", str(args.size[0]), str(args.size[1]),
+            "--epochs", str(args.epochs),
+            "--window_batch", str(args.window_batch),
+            "--scaling", "none"]      # exact GT world: no ground-plane DNet
+
+    rows = {}
+    for r in refiners:
+        extra = (["--chain_block", "12", "--pyramid_levels", "2"]
+                 if r == "chain" else [])
+        t0 = time.monotonic()
+        print(f"==== refiner {r} ====", flush=True)
+        res = pft_main(base + ["--refiner", r] + extra)
+        wall_total = time.monotonic() - t0
+        row = dict(res["synthetic"])
+        row["wall_total_s"] = round(wall_total, 1)   # incl. data gen+compile
+        rows[r] = row
+
+    print("\n| refiner | t-ATE init | t-ATE opt | r-ATE init | r-ATE opt | "
+          "t_err opt %% | refine wall s | frames/s |")
+    print("|---|---|---|---|---|---|---|---|")
+    n_items = args.frames - 1
+    for r, row in rows.items():
+        ei, eo = row["errors_initial"], row["errors_optimized"]
+        rate = row.get("edges_per_s", row.get("windows_per_s", 0.0))
+        print(f"| {r} | {ei[0]:.2f} | {eo[0]:.2f} | {ei[1]:.2f} | "
+              f"{eo[1]:.2f} | {eo[2]:.3f} | {row['wall_s']:.1f} | "
+              f"{rate:.1f} |")
+    out = {"frames": args.frames, "size": args.size, "rows": rows,
+           "n_edges": n_items}
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -274,6 +274,66 @@ def _depth_abs_rel(depth_model, state, seq, cfg) -> float:
     return float(np.mean(vals))
 
 
+def _run_pft(cfg, state, depth_model, pose_model, test_seq, args):
+    """PFT over the test sequence; returns (ate_init, ate_opt, mean_losses).
+
+    The shared evaluation arm of the synthetic and warm-start gates: fused
+    (fwd - inv)/2 poses, mean-norm gt scaling (evaluate_vo_model.py:142-145),
+    trajectory t-ATE before/after window optimization.
+    """
+    import jax.numpy as jnp
+
+    from tcsfm.config import PFTOptions
+    from tcsfm.data.dataset import SfMWindowDataset
+    from tcsfm.data.loader import BatchLoader
+    from tcsfm.data.transforms import WindowTransform
+    from tcsfm.eval.trajectory import compute_trajectory, np_se3_log
+    from tcsfm.solver.pft import PFTOptimizer
+
+    opts = PFTOptions(epochs=args.pft_epochs, lr=2e-4, avg_final_epochs=3,
+                      num_source_imgs=2)
+    optimizer = PFTOptimizer(cfg, opts, depth_model, pose_model,
+                             mode="encoder")
+    wds = SfMWindowDataset([test_seq], seq_len=3,
+                           transform=WindowTransform(jitter=False,
+                                                     flip_prob=None))
+    loader = BatchLoader(wds, 4, shuffle=False, drop_last=False,
+                         pad_tail=True)
+
+    init_f, init_i, opt_f, opt_i, pft_losses = [], [], [], [], []
+    for batch in loader:
+        valid = batch.pop("_valid")
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        n = int(valid.sum())
+        res = optimizer.optimize_window_jit(
+            jb, state.params["depth"], state.params["pose"],
+            state.batch_stats)
+        init_f.append(np.asarray(res.poses_init)[1, :n])
+        opt_f.append(np.asarray(res.poses_opt)[1, :n])
+        init_i.append(np.asarray(res.poses_inv_init)[1, :n])
+        opt_i.append(np.asarray(res.poses_inv_opt)[1, :n])
+        pft_losses.append(np.asarray(res.losses))
+
+    def fused_ate(f_list, i_list):
+        fused = (np.concatenate(f_list) - np.concatenate(i_list)) / 2.0
+        gt_traj = test_seq.gt_poses[1:2 + len(fused)]
+        # mean-norm scale matching (evaluate_vo_model.py:142-145)
+        true_inc = np.stack([
+            np_se3_log(np.linalg.inv(test_seq.gt_poses[i + 1])
+                       @ test_seq.gt_poses[i + 2])
+            for i in range(len(fused))
+        ])
+        scale = (np.mean(np.linalg.norm(true_inc[:, 0:3], axis=1))
+                 / max(np.mean(np.linalg.norm(fused[:, 0:3], axis=1)), 1e-12))
+        scaled = fused.copy()
+        scaled[:, 0:3] *= scale
+        _, _, errors, _ = compute_trajectory(scaled, gt_traj, verbose=False)
+        return float(errors[0])
+
+    mean_losses = np.mean(np.stack(pft_losses), axis=0)
+    return fused_ate(init_f, init_i), fused_ate(opt_f, opt_i), mean_losses
+
+
 def run_synthetic(args) -> dict:
     import jax
 
@@ -282,10 +342,7 @@ def run_synthetic(args) -> dict:
     from tcsfm.data.loader import BatchLoader
     from tcsfm.data.synthetic import make_synthetic_sequence
     from tcsfm.data.transforms import WindowTransform
-    from tcsfm.eval.trajectory import compute_trajectory
     from tcsfm.eval.vo import VOEvaluator
-    from tcsfm.solver.pft import PFTOptimizer
-    from tcsfm.config import PFTOptions
     from tcsfm.train.trainer import Trainer, create_train_state
 
     h, w = args.synthetic_size
@@ -328,49 +385,8 @@ def run_synthetic(args) -> dict:
     absrel_trained = _depth_abs_rel(depth_model, state, test_seq, cfg)
 
     # ---- PFT gate: loss decreases, trajectory does not regress ----------
-    opts = PFTOptions(epochs=args.pft_epochs, lr=2e-4, avg_final_epochs=3,
-                      num_source_imgs=2)
-    optimizer = PFTOptimizer(cfg, opts, depth_model, pose_model,
-                             mode="encoder")
-    wds = SfMWindowDataset([test_seq], seq_len=3,
-                           transform=WindowTransform(jitter=False,
-                                                     flip_prob=None))
-    loader = BatchLoader(wds, 4, shuffle=False, drop_last=False,
-                         pad_tail=True)
-    import jax.numpy as jnp
-
-    init_f, init_i, opt_f, opt_i, pft_losses = [], [], [], [], []
-    for batch in loader:
-        valid = batch.pop("_valid")
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        n = int(valid.sum())
-        res = optimizer.optimize_window_jit(
-            jb, state.params["depth"], state.params["pose"],
-            state.batch_stats)
-        init_f.append(np.asarray(res.poses_init)[1, :n])
-        opt_f.append(np.asarray(res.poses_opt)[1, :n])
-        init_i.append(np.asarray(res.poses_inv_init)[1, :n])
-        opt_i.append(np.asarray(res.poses_inv_opt)[1, :n])
-        pft_losses.append(np.asarray(res.losses))
-
-    def fused_ate(f_list, i_list):
-        fused = (np.concatenate(f_list) - np.concatenate(i_list)) / 2.0
-        gt_traj = test_seq.gt_poses[1:2 + len(fused)]
-        # mean-norm scale matching (evaluate_vo_model.py:142-145)
-        from tcsfm.eval.trajectory import np_se3_log
-        true_inc = np.stack([
-            np_se3_log(np.linalg.inv(test_seq.gt_poses[i + 1])
-                       @ test_seq.gt_poses[i + 2])
-            for i in range(len(fused))
-        ])
-        scale = (np.mean(np.linalg.norm(true_inc[:, 0:3], axis=1))
-                 / max(np.mean(np.linalg.norm(fused[:, 0:3], axis=1)), 1e-12))
-        scaled = fused.copy()
-        scaled[:, 0:3] *= scale
-        _, _, errors, _ = compute_trajectory(scaled, gt_traj, verbose=False)
-        return float(errors[0])
-
-    mean_losses = np.mean(np.stack(pft_losses), axis=0)
+    ate_pft_init, ate_pft_opt, mean_losses = _run_pft(
+        cfg, state, depth_model, pose_model, test_seq, args)
     raw = {
         "mode": "synthetic",
         "train_loss_first": float(losses[0]),
@@ -383,11 +399,29 @@ def run_synthetic(args) -> dict:
         "ate_trained": m_trained["t_ate"],
         "abs_rel_untrained": absrel_untrained,
         "abs_rel_trained": absrel_trained,
-        "ate_pft_init": fused_ate(init_f, init_i),
-        "ate_pft_opt": fused_ate(opt_f, opt_i),
+        "ate_pft_init": ate_pft_init,
+        "ate_pft_opt": ate_pft_opt,
         "pft_loss_first": float(mean_losses[0]),
         "pft_loss_last": float(mean_losses[-1]),
     }
+
+    if args.save_dir:
+        # warm-start handoff (round-5 warm_start_gate): the trained state
+        # (incl. optimizer state, so TPU training RESUMES rather than
+        # restarts), its config, the raw metrics, and the eval-path pose
+        # stream for bit-level CPU-vs-TPU parity comparison
+        from tcsfm.train.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save_dir, state, args.train_epochs - 1,
+                        float(losses[-1]), cfg=cfg)
+        res_eval = evaluator(state).run_sequence(test_seq, batch_size=8,
+                                                 verbose=False)
+        np.savez(os.path.join(args.save_dir, "warm_eval.npz"),
+                 fwd_pose_vec=res_eval["fwd_pose_vec"])
+        with open(os.path.join(args.save_dir, "warm_metrics.json"),
+                  "w") as f:
+            json.dump(raw, f, indent=2, default=float)
+
     return apply_synthetic_gates(
         raw, train_gate=args.train_gate, depth_gate=args.depth_gate,
         pft_gate=args.pft_gate, pft_loss_gate=args.pft_loss_gate,
@@ -442,6 +476,212 @@ def apply_synthetic_gates(raw: dict, train_gate: float, depth_gate: float,
             out["ate_pft_opt"] <= pft_gate * raw["ate_pft_init"]),
     }
     out["pass"] = all(out["gates"].values())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Warm-start TPU-backend training gate (round-4 verdict #1)
+# ---------------------------------------------------------------------------
+
+
+def run_warm_start(args) -> dict:
+    """Prove warm-started TPU-backend training is stable and accurate.
+
+    Round 4 root-caused why the from-scratch synthetic gate cannot pass
+    on the TPU backend: at random init the loss's discrete auto-mask/min/
+    valid branches sit at near-ties, so O(1) gradient divergence makes
+    the 5-epoch trajectory chaotic per backend. The reference's own
+    answer to that instability is the warm start — every real training
+    run bootstraps from a pretrained model (reference README.md:54).
+    This gate demonstrates on-chip that the warm-started regime is in
+    fact stable:
+
+    * **Phase A (CPU backend, subprocess)** — the calibrated synthetic
+      gate trains 5 epochs from scratch where it is provably stable and
+      saves the trained state WITH optimizer state (``--save_dir``).
+    * **Phase B (TPU backend, this process)** —
+      1. *eval parity*: VO + PFT from the identical weights over the
+         identical float32/XLA-warp code path — backend is the only
+         variable; gates on pose-stream delta, gt-scaled t-ATE delta,
+         PFT loss/trajectory deltas.
+      2. *continued training*: resumes Adam for ``--tpu_epochs`` epochs
+         on-chip — in the matched float32/XLA config AND in the native
+         bfloat16/MXU-warp config the real TPU training path uses —
+         and gates final loss and per-pair rotation error against the
+         warm-start values (non-regression within measured tolerance).
+
+    ``--inject_regression R`` multiplies every TPU-side metric by R
+    before gating, so the suite can prove a 10% regression fails
+    (same design as ``apply_synthetic_gates``).
+    """
+    import subprocess
+
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        raise SystemExit("warm_start_gate needs a TPU backend (the point "
+                         "is on-chip training; the CPU phase runs in a "
+                         "subprocess)")
+
+    from tcsfm.config import Config
+    from tcsfm.data.dataset import SfMWindowDataset
+    from tcsfm.data.loader import BatchLoader
+    from tcsfm.data.synthetic import make_synthetic_sequence
+    from tcsfm.data.transforms import WindowTransform
+    from tcsfm.eval.vo import VOEvaluator
+    from tcsfm.train.checkpoint import load_checkpoint
+    from tcsfm.train.trainer import Trainer, create_train_state
+
+    warm_dir = args.warm_dir or os.path.join(".tcsfm_warm_gate")
+    ckpt = os.path.join(warm_dir, "checkpoint.msgpack")
+    if args.warm_refresh or not os.path.exists(ckpt):
+        cmd = [sys.executable, "-m", "tcsfm.cli.golden_eval", "--synthetic",
+               "--force_cpu", "--save_dir", warm_dir,
+               "--train_epochs", str(args.train_epochs),
+               "--pft_epochs", str(args.pft_epochs),
+               "--synthetic_frames", str(args.synthetic_frames),
+               "--synthetic_size", str(args.synthetic_size[0]),
+               str(args.synthetic_size[1]),
+               "--lr", str(args.lr),
+               "--seed_offset", str(args.seed_offset)]
+        print(f"# phase A: CPU warm-start training -> {warm_dir}",
+              flush=True)
+        r = subprocess.run(cmd, text=True, capture_output=True,
+                           timeout=3600)
+        if r.returncode != 0:
+            print(r.stdout[-4000:])
+            print(r.stderr[-4000:], file=sys.stderr)
+            raise SystemExit("CPU warm-start phase failed its own gate")
+
+    with open(os.path.join(warm_dir, "warm_metrics.json")) as f:
+        cpu = json.load(f)
+    cpu_pose = np.load(os.path.join(warm_dir, "warm_eval.npz"))
+    cpu_fwd = cpu_pose["fwd_pose_vec"]
+
+    cfg = Config.load(os.path.join(warm_dir, "config.json"))
+    h, w = args.synthetic_size
+    so = args.seed_offset
+    train_seqs = [make_synthetic_sequence(args.synthetic_frames, (h, w),
+                                          seed=s + so) for s in (0, 1)]
+    test_seq = make_synthetic_sequence(max(16, args.synthetic_frames),
+                                       (h, w), seed=11 + so)
+    state0, depth_model, pose_model = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=32)
+    state0, start_epoch, _ = load_checkpoint(warm_dir, state0)
+
+    def matched_eval(st):
+        # identical code path as the CPU phase's evaluator (float32 cfg,
+        # XLA warp): the BACKEND is the only variable
+        return VOEvaluator(cfg, depth_model, pose_model, st.params,
+                           st.batch_stats, dnet_rescaling=False,
+                           use_mxu_warp=False)
+
+    # ---- 1. eval parity: VO ------------------------------------------------
+    print("# phase B1: TPU eval parity (VO + PFT)", flush=True)
+    res_tpu = matched_eval(state0).run_sequence(test_seq, batch_size=8,
+                                                verbose=False)
+    tpu_fwd = res_tpu["fwd_pose_vec"]
+    pose_rms = float(np.sqrt(np.mean(cpu_fwd ** 2)))
+    vo_pose_delta = float(np.max(np.abs(cpu_fwd - tpu_fwd))
+                          / max(pose_rms, 1e-12))
+    ate_cpu = float(cpu["ate_trained"])
+    ate_tpu = float(res_tpu["errors_gt_scaled"][0])
+    vo_ate_delta = abs(ate_tpu - ate_cpu) / max(ate_cpu, 1e-12)
+
+    # ---- 1b. eval parity: PFT ---------------------------------------------
+    _, pft_ate_tpu, pft_losses_tpu = _run_pft(
+        cfg, state0, depth_model, pose_model, test_seq, args)
+    pft_loss_delta = (abs(float(pft_losses_tpu[-1]) - cpu["pft_loss_last"])
+                      / max(abs(cpu["pft_loss_last"]), 1e-12))
+    pft_ate_delta = (abs(pft_ate_tpu - cpu["ate_pft_opt"])
+                     / max(cpu["ate_pft_opt"], 1e-12))
+
+    # ---- 2. continued training on-chip ------------------------------------
+    ds = SfMWindowDataset(train_seqs, seq_len=3,
+                          transform=WindowTransform(jitter=False,
+                                                    flip_prob=None))
+    variants = {}
+    for name in args.warm_variants.split(","):
+        cfg_v = (cfg if name == "match"
+                 else cfg.replace(compute_dtype="bfloat16",
+                                  use_mxu_warp=True))
+        # fresh resume from the warm point for each variant
+        st, _, _ = load_checkpoint(warm_dir, state0)
+        trainer = Trainer(cfg_v, st, depth_model, pose_model)
+        losses = []
+        for i in range(args.tpu_epochs):
+            ep = start_epoch + i       # continue the CPU run's seed line
+            loader = BatchLoader(ds, cfg.minibatch, shuffle=True, seed=ep)
+            stats = trainer.run_epoch(loader, ep, "train", verbose=False)
+            losses.append(float(stats["total"]))
+            print(f"# [{name}] tpu epoch {ep}: loss {losses[-1]:.5f}",
+                  flush=True)
+        m_after = _pose_metrics(matched_eval(trainer.state), test_seq)
+        variants[name] = {
+            "losses": losses,
+            "loss_final": losses[-1],
+            "loss_ratio": losses[-1] / max(cpu["train_loss_last"], 1e-12),
+            "rot_err": m_after["rot_err"],
+            "rot_ratio": (m_after["rot_err"]
+                          / max(cpu["rot_err_trained"], 1e-12)),
+            "trans_dir_err": m_after["trans_dir_err"],
+        }
+
+    raw = {
+        "mode": "warm_start",
+        "warm_dir": warm_dir,
+        "warm_loss": cpu["train_loss_last"],
+        "warm_rot_err": cpu["rot_err_trained"],
+        "vo_pose_delta_rel": vo_pose_delta,
+        "vo_ate_cpu": ate_cpu,
+        "vo_ate_tpu": ate_tpu,
+        "vo_ate_delta_rel": vo_ate_delta,
+        "pft_loss_last_cpu": cpu["pft_loss_last"],
+        "pft_loss_last_tpu": float(pft_losses_tpu[-1]),
+        "pft_loss_delta_rel": pft_loss_delta,
+        "pft_ate_opt_cpu": cpu["ate_pft_opt"],
+        "pft_ate_opt_tpu": pft_ate_tpu,
+        "pft_ate_delta_rel": pft_ate_delta,
+        "variants": variants,
+    }
+    return apply_warm_gates(
+        raw, vo_pose_gate=args.warm_vo_pose_gate,
+        vo_ate_gate=args.warm_vo_ate_gate,
+        pft_loss_gate=args.warm_pft_loss_gate,
+        pft_ate_gate=args.warm_pft_ate_gate,
+        loss_gate=args.warm_loss_gate, rot_gate=args.warm_rot_gate,
+        inject_regression=args.inject_regression)
+
+
+def apply_warm_gates(raw: dict, vo_pose_gate: float, vo_ate_gate: float,
+                     pft_loss_gate: float, pft_ate_gate: float,
+                     loss_gate: float, rot_gate: float,
+                     inject_regression: float = 1.0) -> dict:
+    """Gate raw warm-start metrics. Pure function (CI-testable without a
+    chip): ``inject_regression`` multiplies every TPU-side metric —
+    parity deltas, continued-training loss ratios and rotation ratios —
+    by R before gating; the suite asserts R = 1.1 FAILS while R = 1.0
+    passes on the recorded on-chip metrics."""
+    inj = inject_regression
+    out = dict(raw)
+    out["variants"] = {k: dict(v) for k, v in raw["variants"].items()}
+    out["inject_regression"] = inj
+    for k in ("vo_pose_delta_rel", "vo_ate_delta_rel",
+              "pft_loss_delta_rel", "pft_ate_delta_rel"):
+        out[k] = inj * raw[k]
+    gates = {
+        "vo_pose_parity": out["vo_pose_delta_rel"] <= vo_pose_gate,
+        "vo_ate_parity": out["vo_ate_delta_rel"] <= vo_ate_gate,
+        "pft_loss_parity": out["pft_loss_delta_rel"] <= pft_loss_gate,
+        "pft_ate_parity": out["pft_ate_delta_rel"] <= pft_ate_gate,
+    }
+    for name, v in out["variants"].items():
+        v["loss_ratio"] = inj * raw["variants"][name]["loss_ratio"]
+        v["rot_ratio"] = inj * raw["variants"][name]["rot_ratio"]
+        gates[f"{name}_loss_no_regression"] = v["loss_ratio"] <= loss_gate
+        gates[f"{name}_rot_no_regression"] = v["rot_ratio"] <= rot_gate
+    out["gates"] = {k: bool(v) for k, v in gates.items()}
+    out["pass"] = all(gates.values())
     return out
 
 
@@ -605,9 +845,56 @@ def main(argv=None):
                         "exact)")
     p.add_argument("--train_ab_ate_gate", type=float, default=1.15,
                    help="max mixed/exact trained t-ATE ratio")
+    p.add_argument("--save_dir", type=str, default="",
+                   help="(synthetic mode) save the trained state + config "
+                        "+ metrics + eval pose stream here — the warm-"
+                        "start handoff artifact")
+    p.add_argument("--force_cpu", action="store_true",
+                   help="pin the CPU backend before first use (the env "
+                        "var is too late under this environment's "
+                        "sitecustomize)")
+    p.add_argument("--warm_start_gate", action="store_true",
+                   help="CPU-warm-start -> on-chip continued-training + "
+                        "eval-parity gate (TPU only; see run_warm_start)")
+    p.add_argument("--warm_dir", type=str, default="",
+                   help="reuse/produce the CPU warm checkpoint here "
+                        "(default .tcsfm_warm_gate; cached unless "
+                        "--warm_refresh)")
+    p.add_argument("--warm_refresh", action="store_true",
+                   help="re-run the CPU phase even if warm_dir has a "
+                        "checkpoint")
+    p.add_argument("--tpu_epochs", type=int, default=3,
+                   help="continued-training epochs on the TPU backend")
+    p.add_argument("--warm_variants", type=str, default="match,native",
+                   help="comma list: 'match' = float32/XLA-warp (backend "
+                        "is the only variable), 'native' = bfloat16/MXU-"
+                        "warp (the real TPU training config)")
+    p.add_argument("--warm_vo_pose_gate", type=float, default=0.02,
+                   help="max |cpu - tpu| eval pose delta / pose RMS from "
+                        "identical weights")
+    p.add_argument("--warm_vo_ate_gate", type=float, default=0.05,
+                   help="max relative gt-scaled t-ATE delta cpu vs tpu")
+    p.add_argument("--warm_pft_loss_gate", type=float, default=0.05,
+                   help="max relative PFT final-loss delta cpu vs tpu")
+    p.add_argument("--warm_pft_ate_gate", type=float, default=0.15,
+                   help="max relative PFT optimized-t-ATE delta cpu vs "
+                        "tpu")
+    p.add_argument("--warm_loss_gate", type=float, default=1.10,
+                   help="continued-training final loss must be <= gate * "
+                        "warm-start loss")
+    p.add_argument("--warm_rot_gate", type=float, default=1.15,
+                   help="post-TPU-training per-pair rotation error must "
+                        "be <= gate * warm-start rotation error")
     args = p.parse_args(argv)
 
-    if args.train_sampler_ab:
+    if args.force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.warm_start_gate:
+        out = run_warm_start(args)
+    elif args.train_sampler_ab:
         out = run_train_sampler_ab(args)
     elif args.fast_sampler_ab:
         out = run_fast_sampler_ab(args)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import numpy as np
 
@@ -179,6 +180,11 @@ def main(argv=None):
                         "optimizer.py:254-258); 'none' applies ×30 only "
                         "(for GT-scaled or non-ground-plane data)")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_frames", type=int, default=16,
+                   help="synthetic sequence length (e.g. 1504 for the "
+                        "KITTI-09-scale chain-BA flagship run)")
+    p.add_argument("--synthetic_size", type=int, nargs=2, default=(64, 96),
+                   help="synthetic H W (192 640 = paper med res)")
     p.add_argument("--out_dir", type=str, default="")
     args = p.parse_args(argv)
     if args.refiner == "chain" and args.chain_block < 3:
@@ -209,8 +215,24 @@ def main(argv=None):
         cfg = cfg.replace(use_mxu_warp=True)
 
     if args.synthetic:
-        sources = {"synthetic":
-                   lambda: make_synthetic_sequence(16, (64, 96), seed=13)}
+        if args.synthetic_frames > 48:
+            # frame-0-texture rendering leaves its valid photometric
+            # region after ~0.5 scene units of travel; long sequences use
+            # the world-anchored drive generator (consistent anywhere)
+            from tcsfm.data.synthetic import make_drive_sequence
+
+            print(f"synthetic: drive generator "
+                  f"({args.synthetic_frames} frames, world-anchored "
+                  f"texture)")
+            sources = {"synthetic":
+                       lambda: make_drive_sequence(
+                           args.synthetic_frames,
+                           tuple(args.synthetic_size), seed=13)}
+        else:
+            sources = {"synthetic":
+                       lambda: make_synthetic_sequence(
+                           args.synthetic_frames,
+                           tuple(args.synthetic_size), seed=13)}
         all_u8 = False                   # in-memory float frames
     else:
         # lazy loaders + header-only probes (tcsfm.data.dataset): one
@@ -316,6 +338,7 @@ def main(argv=None):
     results = {}
     for seq_name, load_seq in sources.items():
         seq = load_seq()                 # one sequence in memory at a time
+        t_refine = time.monotonic()      # refine wall-clock (excl. data gen)
         if args.refiner == "chain":
             pose_init, pose_opt, sc_edge, c0, c1 = _chain_refine_sequence(
                 seq, args, cfg, state, depth_model, pose_model)
@@ -330,11 +353,14 @@ def main(argv=None):
                 pose_init, gt_traj, method="initial", compute_seg_err=True)
             _, _, err_opt, _ = compute_trajectory(
                 pose_opt, gt_traj, method="optimized", compute_seg_err=True)
+            wall = time.monotonic() - t_refine
             results[seq_name] = {
                 "errors_initial": [float(e) for e in err_init],
                 "errors_optimized": [float(e) for e in err_opt],
                 "pft_loss_first": c0,
                 "pft_loss_last": c1,
+                "wall_s": round(wall, 2),
+                "edges_per_s": round(len(pose_opt) / max(wall, 1e-9), 2),
             }
             if args.out_dir:
                 os.makedirs(args.out_dir, exist_ok=True)
@@ -422,6 +448,14 @@ def main(argv=None):
         while pending:
             drain_one()
 
+        if img_shape is None:
+            # zero batches: the sequence is shorter than the 3-frame
+            # window, so every downstream concatenate/np.prod would fail
+            results[seq_name] = {
+                "skipped": f"sequence too short for seq_len=3 "
+                           f"({len(seq.gt_poses)} frames)"}
+            continue
+
         if args.scaling == "unscaled":
             sc_init = np.concatenate(scales_init)
             sc_opt = np.concatenate(scales_opt)
@@ -471,11 +505,14 @@ def main(argv=None):
             pose_opt, gt_traj, method="optimized", compute_seg_err=True)
 
         mean_losses = np.mean(np.stack(losses), axis=0)
+        wall = time.monotonic() - t_refine
         results[seq_name] = {
             "errors_initial": [float(e) for e in err_init],
             "errors_optimized": [float(e) for e in err_opt],
             "pft_loss_first": float(mean_losses[0]),
             "pft_loss_last": float(mean_losses[-1]),
+            "wall_s": round(wall, 2),
+            "windows_per_s": round(len(pose_opt) / max(wall, 1e-9), 2),
         }
         if args.out_dir:
             os.makedirs(args.out_dir, exist_ok=True)

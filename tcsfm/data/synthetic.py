@@ -134,3 +134,122 @@ def make_synthetic_sequence(
         images=images,
         depths=depths,
     )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-length "drive" sequences (round-5 chain-BA flagship)
+# ---------------------------------------------------------------------------
+
+
+def _procedural_field(rng: np.random.RandomState, n_terms: int,
+                      freq_lo: float, freq_hi: float):
+    """A fixed random sinusoid mix f(u, v) -> [0,1]^3, identical for every
+    evaluation (parameters drawn ONCE; normalization by the analytic
+    amplitude bound, not per-batch min/max — per-batch normalization
+    would make the 'world' texture depend on which points each frame
+    happens to see).
+
+    `make_synthetic_sequence` warps a frame-0 texture, which leaves the
+    valid photometric region after ~0.5 scene units of travel — fine for
+    its <=32-frame gate/test windows, degenerate for a KITTI-09-scale
+    sequence. This field is evaluable anywhere, so every neighboring
+    pair stays photometrically consistent no matter how long the drive.
+    """
+    fu = rng.uniform(freq_lo, freq_hi, (3, n_terms))
+    fv = rng.uniform(freq_lo, freq_hi, (3, n_terms))
+    pu = rng.uniform(0, 2 * np.pi, (3, n_terms))
+    pv = rng.uniform(0, 2 * np.pi, (3, n_terms))
+    amp = rng.uniform(0.3, 1.0, (3, n_terms))
+    amp_total = amp.sum(axis=1)                       # analytic |s| bound
+
+    def field(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        out = np.empty(u.shape + (3,), np.float32)
+        for c in range(3):
+            s = np.zeros_like(u, dtype=np.float64)
+            for k in range(n_terms):
+                s += amp[c, k] * np.sin(fu[c, k] * u + pu[c, k]) \
+                    * np.cos(fv[c, k] * v + pv[c, k])
+            out[..., c] = 0.5 + 0.5 * s / amp_total[c]
+        return 0.1 + 0.8 * out
+
+    return field
+
+
+def make_drive_sequence(
+    n_frames: int = 256,
+    image_size: Tuple[int, int] = (64, 96),
+    seed: int = 0,
+    cam_height: float = 1.5 / 30.0,
+    far_depth: float = 20.0,
+    step: float = 0.02,
+    yaw_amp: float = 0.004,
+    yaw_period: float = 400.0,
+) -> SequenceData:
+    """A level camera driving a long, curving path over a world-anchored
+    procedural ground plane (KITTI-09-scale sequences for the chain-BA
+    flagship benchmark; any ``n_frames``).
+
+    Geometry: the camera stays at ``cam_height`` with zero pitch/roll and
+    yaws sinusoidally (amplitude ``yaw_amp`` rad/frame over
+    ``yaw_period`` frames — an S-curving drive). Below-horizon pixels see
+    the ground plane (exact, view-independent z-depth in the level
+    camera frame); above-horizon pixels see an infinitely-distant sky
+    dome (direction-indexed — exact under yaw, parallax-free under
+    translation) with depth recorded as ``far_depth``. Because pitch and
+    height are constant, the per-frame depth map is the same analytic
+    field for every frame — and it is EXACT for the ground region, so
+    depth-consistency terms see a consistent scene.
+
+    Units are the 1/30-metric network scale; step=0.02 -> 0.6 m/frame
+    (~KITTI at 10 Hz), so 1,500 frames cover ~900 m.
+    """
+    h, w = image_size
+    K = np.array(
+        [[0.6 * w, 0.0, w / 2.0], [0.0, 0.6 * w, h / 2.5], [0.0, 0.0, 1.0]],
+        np.float64,
+    )
+    # world-anchored ground texture f(X, Z) and an infinitely-distant
+    # direction-indexed sky f(azimuth, elevation) — parameters drawn once
+    ground_tex = _procedural_field(np.random.RandomState(seed + 1),
+                                   n_terms=6, freq_lo=1.0, freq_hi=12.0)
+    sky_tex = _procedural_field(np.random.RandomState(seed + 2),
+                                n_terms=4, freq_lo=1.0, freq_hi=6.0)
+
+    poses = [np.eye(4)]
+    for i in range(n_frames - 1):
+        yaw = yaw_amp * np.sin(2 * np.pi * i / yaw_period)
+        xi = np.array([0.0, 0.0, step, 0.0, yaw, 0.0])
+        poses.append(poses[-1] @ np_se3_exp(xi))
+    poses = np.asarray(poses)
+
+    depth0 = _scene_depth(h, w, K, cam_height, far_depth)
+    ground_mask = depth0 < far_depth - 1e-6
+
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1).astype(np.float64)
+    rays = pix @ np.linalg.inv(K).T              # camera-frame directions
+    pts_cam = rays * depth0[..., None]           # ground-plane 3D points
+
+    images = np.zeros((n_frames, h, w, 3), np.float32)
+    depths = np.zeros((n_frames, h, w), np.float32)
+    for i in range(n_frames):
+        R, t = poses[i][:3, :3], poses[i][:3, 3]
+        dirs_w = rays @ R.T
+        az = np.arctan2(dirs_w[..., 0], dirs_w[..., 2])
+        el = dirs_w[..., 1] / np.maximum(
+            np.linalg.norm(dirs_w, axis=-1), 1e-9)
+        img = sky_tex(az, 8.0 * el)
+        pts_w = pts_cam[ground_mask] @ R.T + t
+        img[ground_mask] = ground_tex(pts_w[..., 0], pts_w[..., 2])
+        images[i] = img
+        depths[i] = depth0
+    return SequenceData(
+        name=f"drive_{seed}",
+        intrinsics=np.broadcast_to(K.astype(np.float32),
+                                   (n_frames, 3, 3)).copy(),
+        gt_poses=poses,
+        vo_poses=poses.copy(),
+        timestamps=np.arange(n_frames, dtype=np.float64) * 0.1,
+        images=images,
+        depths=depths,
+    )

@@ -575,9 +575,13 @@ def _gsm_jvp(band, interpret, exact, u8, primals, tangents):
                               exact=exact, u8=u8)
         dout = jnp.zeros_like(out)
     if type(img_dot) is not zero:
+        # image tangents are NOT k/255-valued: sample them with the exact
+        # hi/lo path regardless of the primal's speed mode — a 'uint8'
+        # primal would compute round(tangent*255), silently quantizing
+        # (or zeroing, for |t| < 0.5/255) arbitrary tangents
         dout = dout + grid_sample_mxu(img_dot.astype(img.dtype), coords,
                                       band=band, interpret=interpret,
-                                      exact=exact, u8=u8)
+                                      exact=True, u8=())
     return out, dout
 
 

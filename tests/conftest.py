@@ -33,3 +33,30 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Test tiers (round-4 verdict #7): the default selection must stay fast
+# (<10 min CPU); the slowest ~20% — med-res compiles, 8-device mesh BA,
+# multi-process launches — carry @pytest.mark.full and run only with
+# TCSFM_FULL=1 (the verify skill's full tier) or an explicit -m full.
+# ---------------------------------------------------------------------------
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "full: slow tier — skipped unless TCSFM_FULL=1 or "
+                   "-m full is passed")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("TCSFM_FULL") == "1":
+        return
+    if config.getoption("-m", default=""):
+        return                      # explicit marker selection wins
+    skip_full = pytest.mark.skip(
+        reason="full tier (slow): set TCSFM_FULL=1")
+    for item in items:
+        if "full" in item.keywords:
+            item.add_marker(skip_full)

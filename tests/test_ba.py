@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tcsfm.data.dataset import relative_lie_alg
 from tcsfm.data.synthetic import make_synthetic_sequence
@@ -288,6 +289,7 @@ class TestChainBA:
             jnp.asarray(b, jnp.float32)))
         np.testing.assert_allclose(ours, dense, rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.full
     def test_chain_beats_per_pair_fusion(self):
         """Wrong-basin robustness: both measurements of one edge are
         corrupted far outside the full-res photometric basin. Per-pair
@@ -420,6 +422,7 @@ class TestMXUForwardModeResidual:
         cm = np.asarray(r_m.cost)[:, 0]
         assert cm[-1] < cm[0]
 
+    @pytest.mark.full
     def test_chain_ba_mxu_matches_xla(self):
         from tcsfm.solver.ba import chain_ba
 
@@ -448,6 +451,7 @@ class TestMXUForwardModeResidual:
         cm = np.asarray(r_m.cost)
         assert cm[-1] < cm[0]
 
+    @pytest.mark.full
     def test_chain_ba_uint8_pyramid_matches_hilo(self):
         """uint8 sampler mode + pyramid: coarse levels sample ANTIALIASED
         downsampled frames (no longer k/255) and must force hi/lo — with

@@ -124,6 +124,7 @@ class TestSequentialPFTCLI:
             "--window_batch", "4", "--out_dir", out_dir,
         ] + extra)
 
+    @pytest.mark.full
     def test_dnet_scaling_applied(self, model_dir, tmp_path):
         """--scaling unscaled rescales translations by the per-window DNet
         factor; --scaling none leaves ×30 only (VERDICT r1 missing #3)."""
@@ -143,7 +144,8 @@ class TestSequentialPFTCLI:
         assert not np.allclose(ratio, 1.0)
         assert "synthetic" in r_un and "synthetic" in r_no
 
-    @pytest.mark.parametrize("refiner", ["ba", "chain", "gn"])
+    @pytest.mark.parametrize("refiner", [
+        "ba", pytest.param("chain", marks=pytest.mark.full), "gn"])
     def test_ba_refiners_reduce_photometric_cost(self, model_dir, tmp_path,
                                                  refiner):
         """Both direct-BA refiner paths run end-to-end on a synthetic
@@ -196,7 +198,8 @@ class TestSequentialPFTCLI:
         seq.save_npz(str(d / "sequence_data.npz"))
         return str(root)
 
-    @pytest.mark.parametrize("refiner", ["ba", "chain", "gn"])
+    @pytest.mark.parametrize("refiner", [
+        "ba", pytest.param("chain", marks=pytest.mark.full), "gn"])
     def test_refiners_run_on_file_backed_sequences(self, model_dir,
                                                    file_seq_dir, tmp_path,
                                                    refiner):
@@ -298,6 +301,7 @@ def _fake_reference_ckpt(seed=5):
 
 
 class TestImportCheckpoint:
+    @pytest.mark.full
     def test_reference_roundtrip(self, tmp_path):
         """Fake reference .pt → import CLI → loadable best checkpoint with
         bit-equal weights (VERDICT r1 next-item #1 plumbing)."""

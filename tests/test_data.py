@@ -258,6 +258,37 @@ class TestSynthetic:
         err = np.abs(w - tgt)[v].mean()
         assert err < 0.03, f"photometric error {err}"
 
+    def test_drive_sequence_consistent_everywhere(self):
+        """`make_drive_sequence` (world-anchored texture) must stay
+        photometrically consistent at ANY point along the trajectory —
+        the property that makes KITTI-09-scale flagship sequences valid,
+        where the frame-0-texture generator degenerates after ~0.5 scene
+        units of travel."""
+        import jax.numpy as jnp
+
+        from tcsfm.data.synthetic import make_drive_sequence
+        from tcsfm.geom.warp import inverse_warp2
+        from tcsfm.data.dataset import relative_lie_alg
+
+        seq = make_drive_sequence(120, (64, 96), seed=3)
+        assert len(seq.gt_poses) == 120
+        # travel distance far beyond the old generator's valid range
+        assert np.linalg.norm(seq.gt_poses[-1][:3, 3]) > 1.0
+        for t in (1, 60, 117):
+            s = t + 1
+            xi = relative_lie_alg(seq.gt_poses[t], seq.gt_poses[s])
+            warped, valid, _, _ = inverse_warp2(
+                jnp.asarray(seq.images[s][None]),
+                jnp.asarray(seq.depths[t][None, ..., None]),
+                jnp.asarray(seq.depths[s][None, ..., None]),
+                jnp.asarray(-xi[None]), jnp.asarray(seq.intrinsics[t][None]))
+            v = np.asarray(valid[0, ..., 0]) > 0
+            err = np.abs(np.asarray(warped[0]) - seq.images[t])[v].mean()
+            assert err < 0.03, f"pair {t}->{s}: photometric error {err}"
+        # world texture: the same GT pose delta holds between first and
+        # last pair (sinusoidal yaw — poses are exact by construction)
+        assert np.isfinite(seq.images).all()
+
 
 class TestSequenceSources:
     """Lazy CLI sequence resolution + the header-only uint8 probe."""

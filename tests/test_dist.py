@@ -89,6 +89,7 @@ class TestLoaderProcessSlicing:
 
 
 class TestScalingHarness:
+    @pytest.mark.full
     def test_weak_scaling_curve_runs(self):
         """Plumbing check on the virtual mesh: rows come back finite with
         batch growing linearly (efficiency itself is meaningless on
@@ -107,6 +108,7 @@ class TestScalingHarness:
 
 
 class TestMultiProcessLaunch:
+    @pytest.mark.full
     def test_two_process_train_step_parity(self):
         """The multi-host path with REAL process_count == 2 (VERDICT r2
         #3): two local processes start the coordination service, each

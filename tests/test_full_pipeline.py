@@ -119,4 +119,19 @@ class TestFullPipelineMedRes:
         # 5.6m
         assert np.isfinite(rows["t_ate"]["ours"])
         assert np.isfinite(rows["r_ate"]["ours"])
+
+        # 5. file-backed BA refiners at real shapes (round-4 verdict #6):
+        # the r3 advisor crash site was exactly this path — refiner fusion
+        # over from_npz sequences whose images live on disk (images=None,
+        # frames via seq.load_image, pixel counts from batch shapes)
+        from tcsfm.cli.run_sequential_pft import main as pft_main
+        for refiner, extra in (("ba", []), ("chain", ["--chain_block", "6",
+                                                      "--pyramid_levels",
+                                                      "2"])):
+            r = pft_main(["--model_dir", model_dir, "--data_dir", data_dir,
+                          "--seqs", "00_02", "--refiner", refiner,
+                          "--epochs", "4", "--window_batch", "2"] + extra)
+            ate_opt = r["00_02"]["errors_optimized"][0]
+            assert np.isfinite(ate_opt), (refiner, r)
+
         print(json.dumps({"pipeline": "ok", "vo_t_ate": float(errs[0])}))

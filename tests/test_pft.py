@@ -61,7 +61,9 @@ class TestPartition:
 
 
 class TestPFTLoop:
-    @pytest.mark.parametrize("mode", ["encoder", "depth_pred", "pose"])
+    @pytest.mark.parametrize("mode", [
+        pytest.param("encoder", marks=pytest.mark.full), "depth_pred",
+        "pose"])
     def test_loss_decreases(self, setup, mode):
         cfg, dm, pm, dvars, pvars, batch = setup
         # pose-weight optimization needs a gentler lr (weight-standardized
@@ -81,6 +83,7 @@ class TestPFTLoop:
         else:
             assert losses[-1] < losses[0], f"{mode}: {losses}"
 
+    @pytest.mark.full
     def test_result_shapes(self, setup):
         cfg, dm, pm, dvars, pvars, batch = setup
         opts = PFTOptions(epochs=4, avg_final_epochs=2, num_source_imgs=2)
@@ -146,6 +149,7 @@ class TestPFTLoop:
 
 
 class TestSplitScan:
+    @pytest.mark.full
     def test_split_scan_matches_history_variant_bitwise(self, setup):
         """The non-history optimizer skips the flip-merged disparity on
         early scan steps (it is consumed only for the final

@@ -51,6 +51,7 @@ def make_loader(batch_size=4, n_frames=10):
 
 
 class TestTrainStep:
+    @pytest.mark.full
     def test_loss_decreases(self, setup):
         """Training makes progress at the gates' stable lr (5e-5).
 
@@ -113,6 +114,7 @@ class TestTrainStep:
 
 
 class TestRemat:
+    @pytest.mark.full
     def test_remat_matches_no_remat(self, setup):
         """jax.checkpoint over the coupled iterations changes memory use,
         not math: one train step must produce identical losses and
@@ -141,6 +143,7 @@ class TestRemat:
 
 
 class TestDataParallel:
+    @pytest.mark.full
     def test_sharded_training_matches_single_device(self, setup):
         """DP over a 4-device CPU mesh must agree with 1-device training."""
         cfg, state, depth_model, pose_model = setup
@@ -186,6 +189,7 @@ class TestDataParallel:
 
 
 class TestTrainerDriver:
+    @pytest.mark.full
     def test_epoch_runs(self, setup):
         cfg, state, depth_model, pose_model = setup
         trainer = Trainer(cfg, state, depth_model, pose_model)
