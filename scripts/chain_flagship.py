@@ -54,7 +54,10 @@ def main(argv=None):
             "--synthetic_size", str(args.size[0]), str(args.size[1]),
             "--epochs", str(args.epochs),
             "--window_batch", str(args.window_batch),
-            "--scaling", "none"]      # exact GT world: no ground-plane DNet
+            # GT mean-norm scaling: errors read in true scene units
+            # (synthetic GT is exact; DNet ground-plane scaling is the
+            # real-data protocol, not needed here)
+            "--scaling", "gt"]
 
     rows = {}
     for r in refiners:

@@ -2,14 +2,24 @@
 """Probe: XLA native conv vs explicit im2col-GEMM at this framework's
 conv shapes (round-5 verdict #4 — attack the ~25 TFLOP/s conv side).
 
-First measurement (v5e, tail shape 18x96x320, 128->128 3x3 bf16):
-native conv 1.37 ms (119 TFLOP/s) vs im2col GEMM 0.76 ms (215 TFLOP/s*)
-— XLA's TPU conv lowering leaves ~2x on the table at these shapes; a
-9-shifted-matmul accumulation is 7x WORSE (10.0 ms), confirming the win
-comes from the single large GEMM, not from avoiding the conv op.
-(*) above nominal bf16 peak — XLA fuses the tap-concat into the GEMM's
-operand reads, so the FLOP/s numerator double-counts nothing but the
-clock may boost; treat ratios, not absolutes.
+VERDICT: NEGATIVE — native wins; the early im2col "win" was a
+measurement artifact. The history, because it is instructive:
+
+1. Un-chained single-dispatch microbenchmark (tail shape 18x96x320,
+   128->128 3x3 bf16): native 1.37 ms vs im2col 0.76 ms — looked like a
+   1.8x win (XLA fused the tap-concat into the GEMM operand reads in
+   that isolated graph). A 9-shifted-matmul accumulation was 7x worse.
+2. THIS script (scan-chained, K=30 per fetch — the only methodology
+   that survives the remote tunnel's per-fetch jitter): the same
+   im2col conv costs ~6.0 ms — chained, the [M, 9*Cin] concat
+   MATERIALIZES (~9x activation traffic) instead of fusing.
+3. Full network under the im2col lowering (bench.py): forward
+   36.3 -> 93.4 ms, train 153 -> 488 ms, PFT 2.96 -> 0.77 w/s (2.6-6x
+   regression). models/layers.py keeps native as default;
+   TCSFM_CONV_IM2COL=1 re-enables for future XLA re-evaluation.
+
+Moral: never promote a lowering from an isolated single-op benchmark —
+fusion behavior in context is the whole game on TPU.
 
 Each row: native ms / im2col ms / speedup / max |delta| between the two
 results (both bf16 inputs, f32 accumulation).
@@ -88,6 +98,23 @@ def main():
                     preferred_element_type=jnp.float32)
         return o.reshape(b, ho, wo, cout)
 
+    # K applications scan-chained into ONE fetch (single-layer times are
+    # below the tunnel's per-fetch jitter — the first probe version
+    # measured 0.000 ms rows); the carry perturbs the input at 1e-30
+    # scale so XLA cannot CSE the chain.
+    K_CHAIN = 30
+
+    def chained(fn, s):
+        @jax.jit
+        def run(x, k):
+            def body(carry, _):
+                o = fn(x + (carry * 1e-30).astype(x.dtype), k, stride=s)
+                return carry + jnp.sum(o.astype(jnp.float32)), None
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                  length=K_CHAIN)
+            return out
+        return run
+
     print(f"{'layer':30s} {'native':>9s} {'im2col':>9s} {'speedup':>8s} "
           f"{'max|d|':>9s}")
     for label, b, h, w, cin, cout, k, s in SHAPES:
@@ -99,10 +126,11 @@ def main():
         delta = float(np.max(np.abs(ref - alt)))
 
         def run(fn):
-            f = lambda: float(jnp.sum(fn(x, kk, stride=s)))  # noqa: E731
+            ch = chained(fn, s)
+            f = lambda: float(ch(x, kk))                     # noqa: E731
             f()
             lat = measure_latency(noop)
-            return measure_best(f, args.reps, lat)
+            return measure_best(f, args.reps, lat) / K_CHAIN
 
         tn = run(conv_native)
         ti = run(conv_im2col)

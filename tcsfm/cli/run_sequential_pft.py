@@ -173,12 +173,16 @@ def main(argv=None):
     p.add_argument("--extra_iterations", type=int, default=0,
                    help="extra egomotion iterations at test time")
     p.add_argument("--scaling", type=str, default="unscaled",
-                   choices=["unscaled", "none"],
+                   choices=["unscaled", "none", "gt"],
                    help="'unscaled' applies the per-window DNet ground-plane "
                         "scale factor ×30·scale on translations (reference "
                         "run_sequential_optimization.py:225-228, "
                         "optimizer.py:254-258); 'none' applies ×30 only "
-                        "(for GT-scaled or non-ground-plane data)")
+                        "(for GT-scaled or non-ground-plane data); 'gt' "
+                        "mean-norm-matches each trajectory's translations "
+                        "to the GT increments (the reference's gt-scaled "
+                        "eval, evaluate_vo_model.py:142-145) — errors then "
+                        "read in true scene units")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_frames", type=int, default=16,
                    help="synthetic sequence length (e.g. 1504 for the "
@@ -335,6 +339,18 @@ def main(argv=None):
             scale = scale_recovery(depths[0], K, cfg.camera_height / 30.0)
             return poses, poses_inv, res_f, res_i, scale
 
+    def gt_scale(pred, gt_poses, first_edge_frame):
+        """Mean-norm scale matching pred edge translations to the GT
+        increments over the same edges (evaluate_vo_model.py:142-145)."""
+        n = len(pred)
+        gt_norms = [np.linalg.norm(
+            (np.linalg.inv(gt_poses[first_edge_frame + e])
+             @ gt_poses[first_edge_frame + e + 1])[:3, 3])
+            for e in range(n)]
+        return (float(np.mean(gt_norms))
+                / max(float(np.mean(np.linalg.norm(pred[:, 0:3], axis=1))),
+                      1e-12))
+
     results = {}
     for seq_name, load_seq in sources.items():
         seq = load_seq()                 # one sequence in memory at a time
@@ -342,12 +358,17 @@ def main(argv=None):
         if args.refiner == "chain":
             pose_init, pose_opt, sc_edge, c0, c1 = _chain_refine_sequence(
                 seq, args, cfg, state, depth_model, pose_model)
-            if args.scaling != "unscaled":
-                sc_edge = np.ones_like(sc_edge)
             pose_init = pose_init.copy()
-            pose_init[:, 0:3] *= (30.0 * sc_edge)[:, None]
             pose_opt = pose_opt.copy()
-            pose_opt[:, 0:3] *= (30.0 * sc_edge)[:, None]
+            if args.scaling == "gt":
+                # chain edge e spans frames e -> e+1
+                pose_init[:, 0:3] *= gt_scale(pose_init, seq.gt_poses, 0)
+                pose_opt[:, 0:3] *= gt_scale(pose_opt, seq.gt_poses, 0)
+            else:
+                if args.scaling != "unscaled":
+                    sc_edge = np.ones_like(sc_edge)
+                pose_init[:, 0:3] *= (30.0 * sc_edge)[:, None]
+                pose_opt[:, 0:3] *= (30.0 * sc_edge)[:, None]
             gt_traj = seq.gt_poses[:len(pose_opt) + 1]
             _, _, err_init, _ = compute_trajectory(
                 pose_init, gt_traj, method="initial", compute_seg_err=True)
@@ -460,6 +481,8 @@ def main(argv=None):
             sc_init = np.concatenate(scales_init)
             sc_opt = np.concatenate(scales_opt)
         else:
+            # 'none' and 'gt': uniform x30 first; 'gt' renormalizes below
+            # (a uniform factor cancels inside mean-norm matching)
             sc_init = sc_opt = np.ones(sum(len(s) for s in scales_init))
 
         def fuse(fwd_list, inv_list, scales):
@@ -497,6 +520,10 @@ def main(argv=None):
             pose_opt[:, 0:3] *= (30.0 * sc_opt)[:, None]
         else:
             pose_opt = fuse(opt_poses, opt_inv, sc_opt)
+        if args.scaling == "gt":
+            # window target t's fused edge spans frames t -> t+1; t = 1..
+            pose_init[:, 0:3] *= gt_scale(pose_init, seq.gt_poses, 1)
+            pose_opt[:, 0:3] *= gt_scale(pose_opt, seq.gt_poses, 1)
         gt_traj = seq.gt_poses[1:1 + len(pose_init) + 1]
 
         _, _, err_init, _ = compute_trajectory(

@@ -11,7 +11,8 @@ compute, matching standard mixed-precision practice on TPU.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+import os
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,89 @@ Dtype = Any
 
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 xavier_uniform = nn.initializers.xavier_uniform()
+
+# ---------------------------------------------------------------------------
+# Conv lowering: XLA native conv vs explicit im2col GEMM
+# ---------------------------------------------------------------------------
+# MEASURED NEGATIVE RESULT (round 5, v5e) — native is the default.
+# An isolated, un-chained microbenchmark of the phase-tail conv
+# (128->128 3x3 at 18x96x320 bf16) showed the im2col GEMM at 0.76 ms vs
+# 1.37 ms native — but that win is a single-dispatch fusion artifact:
+# scan-chained, the same im2col conv costs 6.0 ms (the [M, 9*Cin] tap
+# concat materializes at ~9x activation traffic instead of fusing into
+# the GEMM's operand reads), and the FULL NETWORK under the im2col
+# lowering regresses 2.6x (bench.py forward 36.3 -> 93.4 ms, train step
+# 153 -> 488 ms, PFT 2.96 -> 0.77 w/s). XLA's native conv lowering is
+# the right call at these shapes; per-layer data in
+# scripts/probe_conv_im2col.py. TCSFM_CONV_IM2COL=1 re-enables the GEMM
+# lowering on TPU for future re-evaluation (read once at import so jit
+# retrace caching stays sound).
+
+_CONV_IM2COL = os.environ.get("TCSFM_CONV_IM2COL", "") == "1"
+
+
+def _use_im2col() -> bool:
+    return _CONV_IM2COL and jax.default_backend() not in ("cpu",)
+
+
+def conv2d_op(x: jax.Array, k: jax.Array,
+              stride: Tuple[int, int] = (1, 1),
+              padding=((0, 0), (0, 0)),
+              prefer_im2col: Optional[bool] = None) -> jax.Array:
+    """NHWC x HWIO conv via XLA's conv op or the im2col GEMM lowering.
+
+    ``padding`` is [(top, bottom), (left, right)] zero padding (callers
+    that need reflect/edge padding pre-pad and pass zeros here, as the
+    existing layers already do)."""
+    if prefer_im2col is None:
+        prefer_im2col = _use_im2col()
+    if not prefer_im2col:
+        return jax.lax.conv_general_dilated(
+            x, k, stride, [tuple(padding[0]), tuple(padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    kh, kw, cin, cout = k.shape
+    xp = jnp.pad(x, ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0)))
+    b, hp, wp, _ = xp.shape
+    sh, sw = stride
+    ho = (hp - kh) // sh + 1
+    wo = (wp - kw) // sw + 1
+    taps = jnp.concatenate(
+        [xp[:, dy:dy + sh * (ho - 1) + 1:sh,
+            dx:dx + sw * (wo - 1) + 1:sw, :]
+         for dy in range(kh) for dx in range(kw)], -1)
+    o = jnp.dot(taps.reshape(b * ho * wo, kh * kw * cin),
+                k.reshape(kh * kw * cin, cout),
+                preferred_element_type=jnp.float32)
+    return o.reshape(b, ho, wo, cout).astype(x.dtype)
+
+
+class Conv2D(nn.Module):
+    """Drop-in for ``nn.Conv`` (same parameter tree: ``kernel`` [kh, kw,
+    Cin, Cout] + optional ``bias``) that routes through ``conv2d_op`` so
+    TPU backends get the im2col GEMM lowering. ``padding`` is an integer
+    symmetric zero pad (the only form this framework uses with nn.Conv)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = kaiming_out
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        w = self.param("kernel", self.kernel_init,
+                       (kh, kw, x.shape[-1], self.features), jnp.float32)
+        p = self.padding
+        y = conv2d_op(x.astype(self.dtype), w.astype(self.dtype),
+                      stride=tuple(self.strides), padding=((p, p), (p, p)))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
 
 
 class ReflConv(nn.Module):
@@ -36,10 +120,12 @@ class ReflConv(nn.Module):
     def __call__(self, x):
         p = (self.kernel - 1) // 2
         x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
-        return nn.Conv(
+        # Conv2D with nn.Conv's auto-name: identical parameter tree
+        return Conv2D(
             self.features, (self.kernel, self.kernel),
-            strides=(self.stride, self.stride), padding="VALID",
+            strides=(self.stride, self.stride),
             dtype=self.dtype, kernel_init=self.kernel_init,
+            name="Conv_0",
         )(x)
 
 
@@ -84,9 +170,7 @@ class _PhaseConv3x3(nn.Module):
         kp = kp.reshape(3, 3, cin, 4 * self.features)
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)),
                      mode="edge")
-        y = jax.lax.conv_general_dilated(
-            xp, kp, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = conv2d_op(xp, kp)
         y = y + jnp.tile(bias.astype(self.dtype), 4)
         if phase_form:
             # [N, Hl, Wl, 4*C] with channel = (2*pi + pj)*C + c — the
@@ -131,9 +215,7 @@ class _DualConv3x3(nn.Module):
         k = kernel.astype(self.dtype)
         if not phase_input:
             xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-            y = jax.lax.conv_general_dilated(
-                xp.astype(self.dtype), k, (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = conv2d_op(xp.astype(self.dtype), k)
             return y + bias.astype(self.dtype)
 
         kp = jnp.zeros((3, 3, 4 * cin, 4 * self.features), self.dtype)
@@ -153,9 +235,7 @@ class _DualConv3x3(nn.Module):
                                    (q + 1) * self.features].set(
                                        k[dy + 1, dx + 1])
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-        y = jax.lax.conv_general_dilated(
-            xp.astype(self.dtype), kp, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = conv2d_op(xp.astype(self.dtype), kp)
         return y + jnp.tile(bias.astype(self.dtype), 4)
 
 
@@ -267,19 +347,15 @@ class WSConv(nn.Module):
                 self.kernel, 3, 16 * in_ch, 8 * self.features)
             v = x.astype(self.dtype).reshape(
                 x.shape[0], x.shape[1], W // 16, 16 * in_ch)
-            y = jax.lax.conv_general_dilated(
-                v, k_emb.astype(self.dtype), (2, 1),
-                [(self.padding, self.padding), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            y = conv2d_op(v, k_emb.astype(self.dtype), stride=(2, 1),
+                          padding=((self.padding, self.padding), (1, 1)))
             y = y.reshape(y.shape[0], y.shape[1], W // 2, self.features)
         else:
-            y = jax.lax.conv_general_dilated(
+            y = conv2d_op(
                 x.astype(self.dtype), w.astype(self.dtype),
-                window_strides=(self.stride, self.stride),
-                padding=[(self.padding, self.padding)] * 2,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+                stride=(self.stride, self.stride),
+                padding=((self.padding, self.padding),
+                         (self.padding, self.padding)))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32)
@@ -327,14 +403,11 @@ class StemConv(nn.Module):
             k2 = kpad.reshape(4, 2, 4, 2, in_ch, self.features)
             k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(
                 4, 4, 4 * in_ch, self.features)
-            y = jax.lax.conv_general_dilated(
-                v, k2.astype(self.dtype), (1, 1), [(2, 1), (2, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = conv2d_op(v, k2.astype(self.dtype),
+                          padding=((2, 1), (2, 1)))
         else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), w.astype(self.dtype), (2, 2),
-                [(3, 3), (3, 3)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = conv2d_op(x.astype(self.dtype), w.astype(self.dtype),
+                          stride=(2, 2), padding=((3, 3), (3, 3)))
         return y
 
 

@@ -19,7 +19,7 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tcsfm.models.layers import StemConv, kaiming_out
+from tcsfm.models.layers import Conv2D, StemConv, kaiming_out
 
 Dtype = Any
 
@@ -41,19 +41,23 @@ class BasicBlock(nn.Module):
             dtype=self.dtype, axis_name=self.bn_axis_name,
         )
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype,
-                    kernel_init=kaiming_out)(x)
+        # Conv2D = nn.Conv parameter tree + the im2col GEMM lowering on
+        # TPU backends (layers.conv2d_op); names pin nn.Conv's auto-names
+        y = Conv2D(self.features, (3, 3),
+                   strides=(self.stride, self.stride), padding=1,
+                   use_bias=False, dtype=self.dtype,
+                   kernel_init=kaiming_out, name="Conv_0")(x)
         y = norm()(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, kernel_init=kaiming_out)(y)
+        y = Conv2D(self.features, (3, 3), padding=1, use_bias=False,
+                   dtype=self.dtype, kernel_init=kaiming_out,
+                   name="Conv_1")(y)
         y = norm()(y)
         if self.stride != 1 or x.shape[-1] != self.features:
-            residual = nn.Conv(self.features, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
-                               kernel_init=kaiming_out)(x)
+            residual = Conv2D(self.features, (1, 1),
+                              strides=(self.stride, self.stride),
+                              use_bias=False, dtype=self.dtype,
+                              kernel_init=kaiming_out, name="Conv_2")(x)
             residual = norm()(residual)
         return nn.relu(y + residual)
 
