@@ -39,6 +39,14 @@ def main(argv=None):
     p.add_argument("--size", type=int, nargs=2, default=(192, 640))
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--window_batch", type=int, default=4)
+    p.add_argument("--model_dir", type=str, default="",
+                   help="trained checkpoint (e.g. the warm-start gate's "
+                        ".tcsfm_warm_gate). REQUIRED for meaningful "
+                        "accuracy rows: with random-init networks the "
+                        "depth field is garbage, so the photometric "
+                        "minimum the BA refiners faithfully descend to "
+                        "sits far from GT (measured: costs drop 3-5x "
+                        "while rotation ATE regresses)")
     p.add_argument("--skip_adam", action="store_true")
     p.add_argument("--refiners", type=str, default="",
                    help="comma list override (default: chain,ba,gn[,adam])")
@@ -58,6 +66,8 @@ def main(argv=None):
             # (synthetic GT is exact; DNet ground-plane scaling is the
             # real-data protocol, not needed here)
             "--scaling", "gt"]
+    if args.model_dir:
+        base += ["--model_dir", args.model_dir]
 
     rows = {}
     for r in refiners:
