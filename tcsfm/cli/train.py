@@ -59,6 +59,13 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="train on generated synthetic sequences")
     p.add_argument("--synthetic_frames", type=int, default=40)
+    p.add_argument("--synthetic_kind", type=str, default="scene",
+                   choices=["scene", "drive"],
+                   help="'scene': short textured-plane windows "
+                        "(make_synthetic_sequence, the CI smoke path); "
+                        "'drive': long world-anchored S-curve drives "
+                        "(make_drive_sequence) — the training data for "
+                        "the chain-BA flagship benchmark's checkpoint")
     p.add_argument("--results_dir", type=str, default="results")
     return p.parse_args(argv)
 
@@ -88,18 +95,18 @@ def build_config(args):
 
 def load_datasets(cfg, args):
     from tcsfm.data.dataset import SequenceData, SfMWindowDataset
-    from tcsfm.data.synthetic import make_synthetic_sequence
+    from tcsfm.data.synthetic import make_drive_sequence, make_synthetic_sequence
     from tcsfm.data.transforms import get_transforms
 
     tf = get_transforms()
     if args.synthetic:
         h, w = (64, 96) if cfg.img_resolution == "low" else cfg.image_size
-        train_seqs = [make_synthetic_sequence(args.synthetic_frames, (h, w),
-                                              seed=s) for s in range(2)]
-        val_seqs = [make_synthetic_sequence(args.synthetic_frames, (h, w),
-                                            seed=7)]
-        test_seqs = [make_synthetic_sequence(args.synthetic_frames, (h, w),
-                                             seed=9)]
+        gen = (make_drive_sequence if args.synthetic_kind == "drive"
+               else make_synthetic_sequence)
+        train_seqs = [gen(args.synthetic_frames, (h, w), seed=s)
+                      for s in range(2)]
+        val_seqs = [gen(args.synthetic_frames, (h, w), seed=7)]
+        test_seqs = [gen(args.synthetic_frames, (h, w), seed=9)]
     else:
         def load(names, exclude=()):
             if list(names) == ["all"]:

@@ -338,8 +338,13 @@ class WSConv(nn.Module):
         w = wc / (jnp.sqrt(var) + 1e-5)
 
         W = x.shape[2]
+        # in_ch <= 16 covers the pose net's conv1 (6 ch) AND conv2 (16 ch):
+        # round-5 probe (scripts/probe_pose_layers.py) measured the conv2
+        # rewrite at 0.35 ms vs 0.44 ms literal despite the 48/k ~ 9.6x
+        # structural-zero FLOPs — lane occupancy (256 vs 32 of 128 output
+        # lanes) dominates at these widths
         use_s2d = (self.stride == 2 and self.padding == (self.kernel - 1) // 2
-                   and in_ch <= 8 and W % 16 == 0 and W >= 32)
+                   and in_ch <= 16 and W % 16 == 0 and W >= 32)
         if use_s2d:
             E = jnp.asarray(_s2d16_embedding(self.kernel, self.padding))
             # [k, kx, ci, co] x [kx, q, p, j] -> [k, q, (p, ci), (j, co)]
