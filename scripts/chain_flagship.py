@@ -58,8 +58,35 @@ def main(argv=None):
     refiners = (args.refiners.split(",") if args.refiners else
                 ["chain", "ba", "gn"] + ([] if args.skip_adam else ["adam"]))
 
-    base = ["--synthetic", "--synthetic_frames", str(args.frames),
-            "--synthetic_size", str(args.size[0]), str(args.size[1]),
+    # Generate the drive sequence ONCE and cache it as an npz dataset:
+    # regenerating 1,504 med-res frames per refiner costs ~10 min each.
+    # Frames are quantized to uint8 (camera-realistic, and it engages the
+    # sampler's uint8-exact single-pass mode — the product inference
+    # path); GT depths/poses stay float.
+    import numpy as np
+
+    from tcsfm.data.dataset import SequenceData
+    from tcsfm.data.synthetic import make_drive_sequence
+
+    cache = os.path.join(".flagship_data",
+                         f"drive{args.frames}_{args.size[0]}x{args.size[1]}",
+                         "synthetic")
+    npz = os.path.join(cache, "sequence_data.npz")
+    if not os.path.exists(npz):
+        os.makedirs(cache, exist_ok=True)
+        t0 = time.monotonic()
+        seq = make_drive_sequence(args.frames, tuple(args.size), seed=13)
+        seq = SequenceData(
+            name=seq.name, intrinsics=seq.intrinsics, gt_poses=seq.gt_poses,
+            vo_poses=seq.vo_poses, timestamps=seq.timestamps,
+            images=np.clip(seq.images * 255.0 + 0.5, 0,
+                           255).astype(np.uint8),
+            depths=seq.depths)
+        seq.save_npz(npz)
+        print(f"generated + cached {args.frames}-frame drive sequence "
+              f"in {time.monotonic() - t0:.0f}s -> {npz}", flush=True)
+
+    base = ["--data_dir", os.path.dirname(cache), "--seqs", "synthetic",
             "--epochs", str(args.epochs),
             "--window_batch", str(args.window_batch),
             # GT mean-norm scaling: errors read in true scene units

@@ -125,6 +125,25 @@ def main():
     ms = chained(solver_1it, depths)
     print(f"solver 1 iter (no warp)      {ms:8.3f} ms")
 
+    # one warp round at solver shapes: 24 images, pose-inference mode
+    # (sample_depth=False, img_grad=False — what iterations 1..3 run)
+    from tcsfm.geom.warp import inverse_warp2_mxu
+
+    src24 = jnp.tile(srcs.reshape((2 * B, H, W, 3)), (2, 1, 1, 1))
+    d_t = jnp.tile(depths.reshape((3 * B, H, W))[:2 * B], (2, 1, 1))
+    d_s = jnp.tile(depths.reshape((3 * B, H, W))[B:], (2, 1, 1))[:4 * B]
+    pose24 = jnp.asarray(rng.randn(4 * B, 6).astype(np.float32) * 0.01)
+    K24 = jnp.tile(Kb, (4, 1, 1))
+
+    def warp_once(src):
+        img_rec, valid, _, _ = inverse_warp2_mxu(
+            src, d_t, d_s, pose24, K24, exact=args.mxu_exact,
+            sample_depth=False, img_grad=False)
+        return jnp.sum(img_rec) + jnp.sum(valid)
+
+    ms = chained(warp_once, src24)
+    print(f"warp round (24 imgs)         {ms:8.3f} ms")
+
     def full(tgt):
         d = depths_of(tgt, srcs)
         poses, _ = solve_pose_iteratively(

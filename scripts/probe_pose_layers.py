@@ -46,9 +46,20 @@ Measured (v5e, 2026-08-20, this probe, K=20 chained, tunnel latency
                                               not worth fixing given
                                               the timing)
 
-width_s2d promoted into WSConv by widening its s2d gate to in_ch <= 16;
-exactness is covered by the existing torch-parity and checkpoint tests
-(the rewrite changes only f32 accumulation order).
+width_s2d promoted into WSConv by widening its s2d gate to in_ch <= 16
+AT bf16 COMPUTE ONLY (the TPU product path; clean-chip in-net effect:
+pose net 1.32 -> 0.92 ms). f32 compute keeps the literal conv: flipping
+the f32 summation order would reshuffle the CPU gates' calibrated
+from-scratch trajectories (the warm gate's matched variant also relies
+on CPU-identical f32 numerics). Exactness at bf16 is covered by the
+probe's parity check (max|d| 9.5e-7 vs the literal conv in f32).
+
+Caution from this probe's first analysis round: three gate runs that
+"collapsed after this change" turned out to have silently run on the
+TPU backend (JAX_PLATFORMS=cpu does NOT stick under the axon tunnel —
+golden_eval needs --force_cpu), i.e. the documented TPU from-scratch
+chaos, not a conv2 regression. The forced-CPU gate bit-reproduces its
+calibration run under the dtype-gated rewrite.
 """
 
 from __future__ import annotations

@@ -338,13 +338,21 @@ class WSConv(nn.Module):
         w = wc / (jnp.sqrt(var) + 1e-5)
 
         W = x.shape[2]
-        # in_ch <= 16 covers the pose net's conv1 (6 ch) AND conv2 (16 ch):
+        # conv1 (6 ch) always; conv2 (16 ch) only at bf16 compute — the
         # round-5 probe (scripts/probe_pose_layers.py) measured the conv2
-        # rewrite at 0.35 ms vs 0.44 ms literal despite the 48/k ~ 9.6x
-        # structural-zero FLOPs — lane occupancy (256 vs 32 of 128 output
-        # lanes) dominates at these widths
+        # rewrite at 0.35 ms vs 0.44 ms literal (lane occupancy 256 vs 32
+        # of 128 output lanes beats the 48/k ~ 9.6x structural-zero
+        # FLOPs), but enabling it at f32 compute flips the f32 summation
+        # order of every CPU path and pushed the synthetic gate's
+        # from-scratch 5-epoch training into the depth-collapse basin at
+        # ALL THREE calibration seeds (disp saturates to 1, sigmoid
+        # gradients underflow to exactly 0, PFT loss goes flat). bf16
+        # compute is the TPU product path; f32 compute (CPU gates, the
+        # warm gate's matched variant) keeps the literal conv and its
+        # long-calibrated trajectories.
+        wide_ok = in_ch <= 8 or (in_ch <= 16 and self.dtype == jnp.bfloat16)
         use_s2d = (self.stride == 2 and self.padding == (self.kernel - 1) // 2
-                   and in_ch <= 16 and W % 16 == 0 and W >= 32)
+                   and wide_ok and W % 16 == 0 and W >= 32)
         if use_s2d:
             E = jnp.asarray(_s2d16_embedding(self.kernel, self.padding))
             # [k, kx, ci, co] x [kx, q, p, j] -> [k, q, (p, ci), (j, co)]
