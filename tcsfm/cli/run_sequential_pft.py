@@ -82,7 +82,19 @@ def _chain_refine_sequence(seq, args, cfg, state, depth_model, pose_model):
         pad = ch - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        d = depth_of(state.params, state.batch_stats, jnp.asarray(chunk))
+        if getattr(args, "gt_depth", False):
+            if seq.depths is None:
+                raise SystemExit(f"--gt_depth: sequence {seq.name} carries "
+                                 "no stored depth maps")
+            # control mode: exact stored depths; DNet scale still comes
+            # from the depth field so the scaling protocol is unchanged
+            d = jnp.asarray(np.stack(
+                [np.asarray(seq.depths[j], np.float32)[..., None]
+                 for j in range(i, min(i + ch, n))]
+                + [np.asarray(seq.depths[n - 1], np.float32)[..., None]]
+                * pad))
+        else:
+            d = depth_of(state.params, state.batch_stats, jnp.asarray(chunk))
         s = scales_of(d)
         depths.append(np.asarray(d)[:ch - pad])
         scales.append(np.asarray(s).reshape(ch)[:ch - pad])
@@ -90,8 +102,37 @@ def _chain_refine_sequence(seq, args, cfg, state, depth_model, pose_model):
     frame_scale = np.concatenate(scales)                    # [N]
 
     # coupled-solver initial poses for windows with targets 1..N-2
+    if getattr(args, "init_gt_pert", 0.0) > 0:
+        # CONTROL: GT edge twists + seeded noise instead of the pose net —
+        # the reference's perturbation-experiment pattern
+        # (pose_perturbation_experiment.py) at sequence scale. Isolates
+        # the refiner's basin convergence from initialization quality.
+        from tcsfm.data.dataset import relative_lie_alg
+
+        rngp = np.random.RandomState(0)
+        t_idx = np.arange(1, n - 1)
+        # source -> target change with the SOURCE as the window target,
+        # matching the trajectory protocol's T_{k+1} = T_k exp(-xi_k)
+        # integration (eval/trajectory.py; verified: at sigma -> 0 the
+        # initial t-ATE is ~0 and the photometric cost sits at the floor)
+        gp = np.stack([relative_lie_alg(seq.gt_poses[t - 1], seq.gt_poses[t])
+                       for t in t_idx])
+        gn_ = np.stack([relative_lie_alg(seq.gt_poses[t + 1], seq.gt_poses[t])
+                        for t in t_idx])
+        tmag = float(np.mean(np.linalg.norm(gn_[:, :3], axis=1)))
+        sig = args.init_gt_pert
+
+        def pert(x):
+            noise = np.concatenate(
+                [rngp.randn(len(x), 3) * sig * tmag,
+                 rngp.randn(len(x), 3) * sig * 0.02], axis=1)
+            return (x + noise).astype(np.float32)
+
+        pose0_prev, pose0_next = pert(gp), pert(gn_)
+    else:
+        pose0_prev = pose0_next = None
     pp, pn = [], []
-    for i in range(1, n - 1, ch):
+    for i in range(1, n - 1, ch) if pose0_prev is None else ():
         t_idx = np.arange(i, min(i + ch, n - 1))
         pad = ch - len(t_idx)
         t_pad = np.concatenate([t_idx, np.repeat(t_idx[-1:], pad)]) \
@@ -105,13 +146,15 @@ def _chain_refine_sequence(seq, args, cfg, state, depth_model, pose_model):
                                dps, jnp.broadcast_to(K1, (ch, 3, 3)))
         pp.append(np.asarray(poses[0])[:ch - pad])          # target -> prev
         pn.append(np.asarray(poses[1])[:ch - pad])          # target -> next
-    pose0_prev = np.concatenate(pp)                         # [N-2, 6]
-    pose0_next = np.concatenate(pn)
+    if pose0_prev is None:
+        pose0_prev = np.concatenate(pp)                     # [N-2, 6]
+        pose0_next = np.concatenate(pn)
 
     # chain BA per block; block [i, end) owns edges i..end-2
     solve = jax.jit(lambda f, d, a, b: chain_ba(
         f, d, K1, a, b, iters=max(args.epochs // 2, 4),
-        depth_prior_weight=0.1, pyramid_levels=args.pyramid_levels,
+        depth_prior_weight=getattr(args, "chain_depth_prior", 0.1),
+        pyramid_levels=args.pyramid_levels,
         use_mxu_warp=cfg.use_mxu_warp, mxu_exact=cfg.mxu_exact,
         mxu_band=cfg.mxu_band))
     edges, costs0, costs1 = [], [], []
@@ -190,6 +233,33 @@ def main(argv=None):
     p.add_argument("--synthetic_size", type=int, nargs=2, default=(64, 96),
                    help="synthetic H W (192 640 = paper med res)")
     p.add_argument("--out_dir", type=str, default="")
+    p.add_argument("--out_json", type=str, default="",
+                   help="also write the results dict to this JSON file "
+                        "(lets drivers run each refiner in its own "
+                        "subprocess — see scripts/chain_flagship.py)")
+    p.add_argument("--chain_depth_prior", type=float, default=0.1,
+                   help="refiner=chain: weight pinning refined depth to "
+                        "its initialization (solver/ba.py::chain_ba); "
+                        "large values (1e4+) freeze depth — used by the "
+                        "--gt_depth control to separate depth drift from "
+                        "the pose cost landscape")
+    p.add_argument("--init_gt_pert", type=float, default=0.0,
+                   help="refiner=chain CONTROL: initialize edge poses from "
+                        "GT twists + seeded Gaussian noise (sigma = this "
+                        "fraction of the mean translation on t, x0.02 rad "
+                        "on r) instead of the pose net — the perturbation-"
+                        "experiment pattern at sequence scale; with "
+                        "--gt_depth it isolates the refiner's basin "
+                        "convergence from network quality")
+    p.add_argument("--gt_depth", action="store_true",
+                   help="refiner=chain CONTROL: linearize on the "
+                        "sequence's stored GT depth maps instead of the "
+                        "depth net's predictions. Isolates refiner "
+                        "correctness from depth-net quality — with exact "
+                        "depth the photometric minima sit at GT, so any "
+                        "residual trajectory error is the refiner's own. "
+                        "Requires the sequence to carry depths (synthetic "
+                        "npz / ScanNet)")
     args = p.parse_args(argv)
     if args.refiner == "chain" and args.chain_block < 3:
         # block 1 never advances the block loop; block 2 gives chain_ba a
@@ -568,6 +638,9 @@ def main(argv=None):
                      losses=np.stack(losses))
 
     print(json.dumps(results, indent=2))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(results, f, indent=2)
     return results
 
 
